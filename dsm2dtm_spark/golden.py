@@ -57,9 +57,12 @@ def terrain_slope(dsm: np.ndarray, resolution: float, nodata: float) -> float:
     dy, dx = np.gradient(as_nan)
     mag = np.sqrt(dy**2 + dx**2) / work_res
     vals = mag[valid]
-    if np.all(np.isnan(vals)):
+    # median of the non-NaN values == np.nanmedian, but via introselect
+    # (np.median/partition) instead of nanmedian's much slower path
+    finite = vals[~np.isnan(vals)]
+    if finite.size == 0:
         return PMF_BASE_SLOPE
-    med = np.nanmedian(vals)
+    med = np.median(finite)
     return float(max(0.01, min(med, 1.0)))
 
 
@@ -137,8 +140,8 @@ def gap_fill(ground: np.ndarray, nodata: float, max_dist_px: float) -> np.ndarra
     invalid = ground == nodata
     dtm = ground.astype(np.float32, copy=True)
     if invalid.any() and (~invalid).any():
-        dist, nr, nc = edt_with_indices(invalid)
-        in_range = invalid & (dist <= max_dist_px)
+        dist2, nr, nc = edt_with_indices(invalid)
+        in_range = invalid & (dist2 <= max_dist_px * max_dist_px)
         if in_range.any():
             dtm[in_range] = dtm[nr, nc][in_range]
     return dtm

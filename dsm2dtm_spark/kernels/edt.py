@@ -71,26 +71,29 @@ def _envelope_transform(f: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def edt_with_indices(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Return (distances, nearest_row, nearest_col) for boolean ``mask``.
+    """Return (squared distances, nearest_row, nearest_col) for boolean ``mask``.
 
-    ``distances[i,j]`` = Euclidean distance from (i,j) to the nearest cell with
-    ``mask == False``; 0 where mask is False. ``nearest_row/col`` index that
-    cell (self where mask is False). Requires at least one False cell.
+    ``dist2[i,j]`` = squared Euclidean distance from (i,j) to the nearest cell
+    with ``mask == False``; 0 where mask is False. ``nearest_row/col`` index
+    that cell (self where mask is False). Requires at least one False cell.
+    Squared distances are exact integers in float64 — callers compare
+    ``dist2 <= threshold**2``, equivalent to scipy's ``dist <= threshold`` and
+    a full-array sqrt cheaper.
     """
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
     if not (~mask).any():
         raise ValueError("edt_with_indices requires at least one valid (False) cell")
 
-    rows = np.arange(h, dtype=np.int64)[:, None]
+    rows = np.arange(h, dtype=np.int32)[:, None]
     # nearest valid row at-or-above: maximum.accumulate of valid row indices
-    up = np.where(~mask, rows, np.int64(-1))
+    up = np.where(~mask, rows, np.int32(-1))
     up = np.maximum.accumulate(up, axis=0)  # -1 where none above
     # nearest valid row at-or-below
-    down = np.where(~mask, rows, np.int64(2 * h))
+    down = np.where(~mask, rows, np.int32(2 * h))
     down = np.minimum.accumulate(down[::-1], axis=0)[::-1]  # 2h where none below
 
-    big_i = np.int64(1) << 32
+    big_i = np.int32(1 << 30)
     dup = np.where(up >= 0, rows - up, big_i)
     ddn = np.where(down < h, down - rows, big_i)
     use_up = dup <= ddn  # prefer the upward site on row-distance ties
@@ -101,8 +104,8 @@ def edt_with_indices(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     dist2, qstar = _envelope_transform(g2)
 
     nearest_col = qstar
-    nearest_row = np.take_along_axis(gr, qstar, axis=1)
-    return np.sqrt(dist2), nearest_row, nearest_col
+    nearest_row = np.take_along_axis(gr, qstar.astype(np.int32), axis=1)
+    return dist2, nearest_row, nearest_col
 
 
 def fill_nearest(values: np.ndarray, invalid_mask: np.ndarray) -> np.ndarray:

@@ -33,13 +33,19 @@ def _correlate1d_reflect(a: np.ndarray, taps: np.ndarray, axis: int) -> np.ndarr
     radius = (len(taps) - 1) // 2
     if radius == 0:
         return a.astype(np.float64, copy=True)
-    a = np.moveaxis(a, axis, -1)
+    transposed = axis in (-2, a.ndim - 2)
+    if transposed:
+        a = np.swapaxes(a, -1, -2)
     n = a.shape[-1]
-    p = pad_reflect(a.astype(np.float64, copy=False), radius, axis=-1)
-    out = np.zeros(a.shape, dtype=np.float64)
-    for j, wj in enumerate(taps):
-        out += wj * p[..., j : j + n]
-    return np.moveaxis(out, -1, axis)
+    p = pad_reflect(np.ascontiguousarray(a, dtype=np.float64), radius, axis=-1)
+    # symmetric kernel: fold mirrored taps together — w[r]*center + Σ w[r+d]*(left+right)
+    out = p[..., radius : radius + n] * taps[radius]
+    buf = np.empty_like(out)
+    for d in range(1, radius + 1):
+        np.add(p[..., radius - d : radius - d + n], p[..., radius + d : radius + d + n], out=buf)
+        buf *= taps[radius + d]
+        out += buf
+    return np.swapaxes(out, -1, -2) if transposed else out
 
 
 def gaussian_filter2d(a: np.ndarray, sigma: float, truncate: float = _TRUNCATE) -> np.ndarray:

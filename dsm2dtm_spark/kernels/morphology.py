@@ -30,15 +30,26 @@ def _sliding_extremum_1d(a: np.ndarray, window: int, axis: int, is_min: bool) ->
         raise ValueError("window must be odd")
     k = window
     r = (k - 1) // 2
-    a = np.moveaxis(a, axis, -1)
+    transposed = axis in (-2, a.ndim - 2)
+    if transposed:
+        a = np.ascontiguousarray(np.swapaxes(a, -1, -2))  # contiguous rows for the scans
     n = a.shape[-1]
-    p = pad_reflect(a, r, axis=-1)
+    if k <= 17:
+        # small windows: k SIMD min/max passes over shifted slices beat the
+        # sequential-dependency accumulate scans of van Herk
+        work = a if a.dtype.kind == "f" else a.astype(np.float64)
+        p = pad_reflect(work, r, axis=-1)
+        out = p[..., :n].copy()
+        op = np.minimum if is_min else np.maximum
+        for j in range(1, k):
+            op(out, p[..., j : j + n], out=out)
+        out = out.astype(a.dtype, copy=False)
+        return np.swapaxes(out, -1, -2) if transposed else out
     L = n + 2 * r
     nblocks = -(-L // k)
     fill = np.inf if is_min else -np.inf
-    if nblocks * k != L:
-        padtail = np.full(a.shape[:-1] + (nblocks * k - L,), fill, dtype=p.dtype if p.dtype.kind == "f" else np.float64)
-        p = np.concatenate([p.astype(padtail.dtype, copy=False), padtail], axis=-1)
+    work = a if a.dtype.kind == "f" else a.astype(np.float64)
+    p = pad_reflect(work, r, axis=-1, tail=nblocks * k - L, tail_value=fill)
     blocks = p.reshape(p.shape[:-1] + (nblocks, k))
     acc = np.minimum.accumulate if is_min else np.maximum.accumulate
     prefix = acc(blocks, axis=-1).reshape(p.shape[:-1] + (nblocks * k,))
@@ -46,7 +57,7 @@ def _sliding_extremum_1d(a: np.ndarray, window: int, axis: int, is_min: bool) ->
     # window starting at padded position i spans [i, i+k-1]
     out = (np.minimum if is_min else np.maximum)(suffix[..., :n], prefix[..., k - 1 : k - 1 + n])
     out = out.astype(a.dtype, copy=False)
-    return np.moveaxis(out, -1, axis)
+    return np.swapaxes(out, -1, -2) if transposed else out
 
 
 def erode_square(a: np.ndarray, window: int) -> np.ndarray:

@@ -24,7 +24,27 @@ def reflect_indices(n: int, radius: int) -> np.ndarray:
     return np.where(m < n, m, 2 * n - 1 - m)
 
 
-def pad_reflect(a: np.ndarray, radius: int, axis: int) -> np.ndarray:
-    """Pad ``a`` by ``radius`` samples of symmetric reflection along ``axis``."""
-    idx = reflect_indices(a.shape[axis], radius)
-    return np.take(a, idx, axis=axis)
+def pad_reflect(a: np.ndarray, radius: int, axis: int, tail: int = 0, tail_value: float = 0.0) -> np.ndarray:
+    """Pad ``a`` by ``radius`` samples of symmetric reflection along ``axis``,
+    plus an optional ``tail`` of constant ``tail_value`` at the end (used by
+    the van Herk block layout to reach a multiple of the window size).
+
+    Fast path (radius < n, last axis): slice copies (memcpy) instead of a
+    fancy-indexed gather — this is on the PMF hot path at 10k×10k.
+    """
+    n = a.shape[axis]
+    if axis in (-1, a.ndim - 1) and 0 < radius < n:
+        out = np.empty(a.shape[:-1] + (n + 2 * radius + tail,), dtype=a.dtype)
+        out[..., radius : radius + n] = a
+        out[..., :radius] = a[..., radius - 1 :: -1]
+        out[..., radius + n : radius + n + radius] = a[..., : -radius - 1 : -1]
+        if tail:
+            out[..., -tail:] = tail_value
+        return out
+    idx = reflect_indices(n, radius)
+    out = np.take(a, idx, axis=axis)
+    if tail:
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, tail)
+        out = np.pad(out, pad, mode="constant", constant_values=tail_value)
+    return out

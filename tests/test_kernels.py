@@ -138,7 +138,7 @@ class TestEDT:
             for j in range(w):
                 d2 = (vr - i) ** 2 + (vc - j) ** 2
                 a = int(np.argmin(d2))
-                dist[i, j] = np.sqrt(d2[a])
+                dist[i, j] = d2[a]  # squared distances (kernel contract)
                 nr[i, j], nc[i, j] = vr[a], vc[a]
         return dist, nr, nc
 
@@ -154,7 +154,7 @@ class TestEDT:
         # reported distance (ties may pick a different equidistant site)
         assert (~mask[nr, nc]).all()
         ii, jj = np.mgrid[0:17, 0:23]
-        got = np.sqrt((ii - nr) ** 2.0 + (jj - nc) ** 2.0)
+        got = (ii - nr) ** 2.0 + (jj - nc) ** 2.0
         np.testing.assert_allclose(got, bd, atol=1e-9)
 
     def test_valid_cells_map_to_self(self):
