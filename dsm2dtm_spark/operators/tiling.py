@@ -1,0 +1,341 @@
+"""Raster tiling with halo exchange and seam-merge stitching (SURVEY.md E4,
+E5, E8) — the scale path for rasters too large to process one-per-task.
+
+Plan shape (SURVEY.md §3 engine lifecycle):
+
+    pass 1  image_stats     mapInPandas: per-image global scalars (valid min,
+                            auto slope, dims → derived params + halo). These
+                            are the whole-image quantities tiles cannot know
+                            locally (reference algorithm.py:197, 382-388).
+    pass 2  emit_tiles      mapInPandas: cut overlapping tiles (core + halo ≥
+                            total influence radius), key each by its S2-style
+                            cell id + a salt column; `repartition(cell_id,
+                            salt)` is the explicit halo-exchange shuffle and
+                            the skew control for hot cells (E13).
+    pass 3  process_tiles   mapInPandas: run the standard pipeline per tile
+                            with injected global scalars, keep only the core.
+    pass 4  stitch          groupBy(image_id).applyInPandas: reassemble and
+                            re-encode; bit-identical to the whole-image path.
+
+Exactness argument (tested): every stage's output pixel depends on inputs
+within a bounded radius; the halo is the sum of those radii
+(params.total_influence_px), so core pixels see exactly the data they would
+see in the whole image. Clipping the halo cut at image borders lands the tile
+edge ON the image border, where reflect padding is the whole-image semantics
+too. Global scalars: the valid minimum provably survives PMF and refinement
+(tests/test_golden.py::test_global_min_preserved...), so pass-1's input min
+serves every min-fill; slope/param/window clamps come from pass-1 dims.
+
+The coarse path (cell_size < 0.45 m) resamples with whole-image endpoint-
+aligned coordinates and cannot be tiled exactly — such rows must go through
+the whole-image plan (enforced in image_stats).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dsm2dtm_spark import codecs, golden
+from dsm2dtm_spark.operators import cellindex
+from dsm2dtm_spark.params import (
+    MIN_PROCESS_RES_M,
+    NODATA_DEFAULT,
+    apply_radius_override,
+    derive_params,
+    total_influence_px,
+)
+
+# equirectangular meters→degrees anchors shared with the SQL oracle
+M_PER_DEG_LAT = 110540.0
+M_PER_DEG_LON_EQ = 111320.0
+DEFAULT_CELL_RES = 14
+N_SALT = 8
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("min_valid", DoubleType()),
+        StructField("slope_used", DoubleType()),
+        StructField("cell_size", DoubleType()),
+        StructField("init_window", IntegerType()),
+        StructField("max_window", IntegerType()),
+        StructField("refine_sigma", DoubleType()),
+        StructField("final_sigma", DoubleType()),
+        StructField("gap_dist_px", DoubleType()),
+        StructField("halo_px", IntegerType()),
+    ]
+)
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("tile_row", IntegerType()),
+        StructField("tile_col", IntegerType()),
+        StructField("cell_id", LongType()),
+        StructField("salt", IntegerType()),
+        StructField("core_y", IntegerType()),
+        StructField("core_x", IntegerType()),
+        StructField("core_h", IntegerType()),
+        StructField("core_w", IntegerType()),
+        StructField("cut_y", IntegerType()),
+        StructField("cut_x", IntegerType()),
+        StructField("cut_h", IntegerType()),
+        StructField("cut_w", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("img_h", IntegerType()),
+        StructField("img_w", IntegerType()),
+    ]
+)
+
+
+def tile_grid(h: int, w: int, tile_px: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Deterministic tile plan: (tile_row, tile_col, core_y, core_x, core_h,
+    core_w). Last row/col tiles absorb the remainder."""
+    n_rows = max(1, math.ceil(h / tile_px))
+    n_cols = max(1, math.ceil(w / tile_px))
+    out = []
+    for tr in range(n_rows):
+        for tc in range(n_cols):
+            y = tr * tile_px
+            x = tc * tile_px
+            out.append((tr, tc, y, x, min(tile_px, h - y), min(tile_px, w - x)))
+    return out
+
+
+def tile_center_lonlat(
+    lon0: float, lat0: float, xres_m: float, yres_m: float, cx_px: float, cy_px: float
+) -> tuple[float, float]:
+    """Equirectangular anchor + pixel offset → lon/lat of a tile center.
+    (lon0, lat0) anchor the image's top-left pixel; y grows southward.
+    The same arithmetic is emitted to SQL for the assignment oracle."""
+    lat = lat0 - (cy_px * yres_m) / M_PER_DEG_LAT
+    lon = lon0 + (cx_px * xres_m) / (M_PER_DEG_LON_EQ * math.cos(math.radians(lat0)))
+    return lon, lat
+
+
+def image_stats(images: DataFrame, radius_m: float | None, slope: float | None) -> DataFrame:
+    """Pass 1: per-image global scalars. Cheap relative to pass 3 (decode +
+    one gradient/median), and the only stage that must see whole images."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in STATS_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                cell_size = max((abs(row.xres_m) + abs(row.yres_m)) / 2.0, 0.001)
+                if cell_size < MIN_PROCESS_RES_M * 0.9:
+                    raise ValueError(
+                        f"{row.image_id}: cell_size {cell_size} routes to the coarse path, "
+                        "which is whole-image by construction — use the whole-image plan"
+                    )
+                s = slope if slope is not None else golden.terrain_slope(grid, cell_size, NODATA_DEFAULT)
+                max_dim = max(grid.shape)
+                p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)
+                if radius_m is not None:
+                    apply_radius_override(p, radius_m, cell_size, max_dim)
+                valid = grid != NODATA_DEFAULT
+                out["image_id"].append(row.image_id)
+                out["min_valid"].append(float(grid[valid].min()) if valid.any() else float("nan"))
+                out["slope_used"].append(float(s))
+                out["cell_size"].append(cell_size)
+                out["init_window"].append(p.init_window)
+                out["max_window"].append(p.max_window)
+                out["refine_sigma"].append(p.refine_sigma)
+                out["final_sigma"].append(p.final_sigma)
+                out["gap_dist_px"].append(p.gap_dist_px)
+                out["halo_px"].append(total_influence_px(p))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(stats, STATS_SCHEMA)
+
+
+def emit_tiles(images_with_stats: DataFrame, tile_px: int, cell_res: int = DEFAULT_CELL_RES) -> DataFrame:
+    """Pass 2: cut overlapping tiles. The cut window is the core expanded by
+    halo_px, clipped to the image — clipping lands on true image borders where
+    reflect padding is exact."""
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in TILE_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                h, w = int(row.h), int(row.w)
+                grid = codecs.decode(row.bytes, h, w, row.fmt)
+                halo = int(row.halo_px)
+                for tr, tc, cy, cx, ch, cw in tile_grid(h, w, tile_px):
+                    y0 = max(0, cy - halo)
+                    x0 = max(0, cx - halo)
+                    y1 = min(h, cy + ch + halo)
+                    x1 = min(w, cx + cw + halo)
+                    lon_c, lat_c = tile_center_lonlat(
+                        row.lon0, row.lat0, row.xres_m, row.yres_m, cx + cw / 2.0, cy + ch / 2.0
+                    )
+                    cell = int(cellindex.encode_cells(np.array([lon_c]), np.array([lat_c]), cell_res)[0])
+                    out["image_id"].append(row.image_id)
+                    out["tile_row"].append(tr)
+                    out["tile_col"].append(tc)
+                    out["cell_id"].append(cell)
+                    out["salt"].append(zlib.crc32(f"{row.image_id}/{tr}/{tc}".encode()) % N_SALT)
+                    out["core_y"].append(cy)
+                    out["core_x"].append(cx)
+                    out["core_h"].append(ch)
+                    out["core_w"].append(cw)
+                    out["cut_y"].append(y0)
+                    out["cut_x"].append(x0)
+                    out["cut_h"].append(y1 - y0)
+                    out["cut_w"].append(x1 - x0)
+                    out["payload"].append(codecs.encode_raw_f32(grid[y0:y1, x0:x1]))
+                    out["fmt"].append(row.fmt)
+                    out["caption"].append(row.caption)
+                    out["img_h"].append(h)
+                    out["img_w"].append(w)
+            yield pd.DataFrame(out)
+
+    return images_with_stats.mapInPandas(tiles, TILE_SCHEMA)
+
+
+def process_tiles(tiles: DataFrame, stats: DataFrame) -> DataFrame:
+    """Pass 3: salted-shuffle tiles to executors keyed by cell id, then run
+    the pipeline per tile with the pass-1 global scalars injected. The
+    repartition IS the halo exchange: overlapping pixel strips travel with
+    their tile, so no neighbor join is needed afterwards."""
+    joined = tiles.join(F.broadcast(stats), on="image_id", how="inner")
+    shuffled = joined.repartition(F.col("cell_id"), F.col("salt"))
+
+    out_schema = StructType(
+        [f for f in TILE_SCHEMA.fields if f.name not in ("payload", "salt", "cut_y", "cut_x", "cut_h", "cut_w")]
+        + [StructField("core_bytes", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                cut = codecs.decode_raw_f32(row.payload, int(row.cut_h), int(row.cut_w))
+                mn = None if np.isnan(row.min_valid) else float(row.min_valid)
+                ground = golden.pmf(
+                    cut, NODATA_DEFAULT, int(row.init_window), int(row.max_window),
+                    float(row.slope_used) * float(row.cell_size), min_fill=mn,
+                )
+                ground = golden.refine(ground, NODATA_DEFAULT, float(row.refine_sigma), min_fill=mn)
+                ground = golden.final_smooth(ground, NODATA_DEFAULT, float(row.final_sigma), min_fill=mn)
+                dtm = golden.gap_fill(ground, NODATA_DEFAULT, float(row.gap_dist_px))
+                oy = int(row.core_y) - int(row.cut_y)
+                ox = int(row.core_x) - int(row.cut_x)
+                core = dtm[oy : oy + int(row.core_h), ox : ox + int(row.core_w)]
+                out["image_id"].append(row.image_id)
+                out["tile_row"].append(int(row.tile_row))
+                out["tile_col"].append(int(row.tile_col))
+                out["cell_id"].append(int(row.cell_id))
+                out["core_y"].append(int(row.core_y))
+                out["core_x"].append(int(row.core_x))
+                out["core_h"].append(int(row.core_h))
+                out["core_w"].append(int(row.core_w))
+                out["fmt"].append(row.fmt)
+                out["caption"].append(row.caption)
+                out["img_h"].append(int(row.img_h))
+                out["img_w"].append(int(row.img_w))
+                out["core_bytes"].append(codecs.encode_raw_f32(np.ascontiguousarray(core)))
+            yield pd.DataFrame(out)
+
+    return shuffled.mapInPandas(run, out_schema)
+
+
+STITCHED_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+    ]
+)
+
+
+def stitch(processed: DataFrame) -> DataFrame:
+    """Pass 4: reassemble core regions per image and re-encode in the row's
+    original codec — the window-based seam merge (cores partition the image,
+    so priority resolution is trivial; overlap auditing lives in the
+    assignment table)."""
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = int(pdf.img_h.iloc[0])
+        w = int(pdf.img_w.iloc[0])
+        canvas = np.full((h, w), NODATA_DEFAULT, dtype=np.float32)
+        for row in pdf.itertuples(index=False):
+            core = codecs.decode_raw_f32(row.core_bytes, int(row.core_h), int(row.core_w))
+            canvas[row.core_y : row.core_y + row.core_h, row.core_x : row.core_x + row.core_w] = core
+        fmt = pdf.fmt.iloc[0]
+        return pd.DataFrame(
+            {
+                "image_id": [key[0]],
+                "bytes": [codecs.encode(canvas, fmt)],
+                "w": [w],
+                "h": [h],
+                "fmt": [fmt],
+                "caption": [pdf.caption.iloc[0]],
+            }
+        )
+
+    return processed.groupBy("image_id").applyInPandas(assemble, STITCHED_SCHEMA)
+
+
+def tiled_dtm_transform(
+    images: DataFrame,
+    tile_px: int = 1024,
+    radius_m: float | None = None,
+    slope: float | None = None,
+    cell_res: int = DEFAULT_CELL_RES,
+) -> DataFrame:
+    """Full tiled plan: stats → tiles → salted shuffle → process → stitch."""
+    stats = image_stats(images, radius_m, slope)
+    tiles = emit_tiles(
+        images.join(F.broadcast(stats.select("image_id", "halo_px")), on="image_id", how="inner"),
+        tile_px,
+        cell_res,
+    )
+    processed = process_tiles(tiles, stats)
+    return stitch(processed)
+
+
+def tile_assignments(images: DataFrame, tile_px: int, cell_res: int = DEFAULT_CELL_RES) -> DataFrame:
+    """The deterministic tile-to-cell assignment table (north_rule: 'identical
+    tile-to-cell assignments'), as a pure DataFrame computation — no pixel
+    payloads, SQL-oracle-checkable (explode a tile-index sequence, then the
+    shared cell_encode_sql arithmetic)."""
+    n_rows = F.ceil(F.col("h") / F.lit(tile_px)).cast("int")
+    n_cols = F.ceil(F.col("w") / F.lit(tile_px)).cast("int")
+    df = (
+        images.select("image_id", "h", "w", "lon0", "lat0", "xres_m", "yres_m")
+        .withColumn("tile_row", F.explode(F.sequence(F.lit(0), n_rows - 1)))
+        .withColumn("tile_col", F.explode(F.sequence(F.lit(0), n_cols - 1)))
+    )
+    core_h = F.least(F.lit(tile_px), F.col("h") - F.col("tile_row") * tile_px)
+    core_w = F.least(F.lit(tile_px), F.col("w") - F.col("tile_col") * tile_px)
+    cy = F.col("tile_row") * tile_px + core_h / 2.0
+    cx = F.col("tile_col") * tile_px + core_w / 2.0
+    lat_c = F.col("lat0") - (cy * F.col("yres_m")) / M_PER_DEG_LAT
+    lon_c = F.col("lon0") + (cx * F.col("xres_m")) / (M_PER_DEG_LON_EQ * F.cos(F.radians(F.col("lat0"))))
+    return df.select(
+        "image_id",
+        "tile_row",
+        "tile_col",
+        cellindex.cell_expr(lon_c, lat_c, cell_res).alias("cell_id"),
+    )

@@ -1,0 +1,142 @@
+"""Tiled-path tests: the headline exactness claim is that the tiled plan
+(tiles + halo + salted shuffle + stitch) reproduces the whole-image plan
+BIT-EXACTLY (north_rule: identical outputs and tile-to-cell assignments)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dsm2dtm_spark import codecs, golden, synth
+from dsm2dtm_spark.operators import tiling
+from dsm2dtm_spark.operators.cellindex import encode_cells
+from dsm2dtm_spark.params import NODATA_DEFAULT
+
+RADIUS = 15.0  # keeps the halo small enough that 512-px images tile genuinely
+
+
+def big_image_pdf() -> pd.DataFrame:
+    """Images large enough that tile cuts do NOT degenerate to whole images
+    (res 2 m → halo = Σ(w−1)=14 + refine r=10 + final r=1 + gap 50 = 75 px)."""
+    rng = np.random.default_rng(99)
+    rows = []
+    scenes = {
+        "ramp_blocks": None,
+        "nodata_holes": None,
+        "vegetation": None,
+    }
+    n = 512
+    yy, xx = np.mgrid[0:n, 0:n]
+    g = (100.0 + 0.02 * yy + 0.01 * xx + rng.normal(0, 0.2, (n, n))).astype(np.float32)
+    g[100:160, 100:180] += 15.0
+    g[300:420, 350:470] += 9.0
+    scenes["ramp_blocks"] = g
+    g2 = g.copy()
+    g2[200:260, 40:90] = NODATA_DEFAULT
+    g2[rng.random((n, n)) < 0.02] = NODATA_DEFAULT
+    scenes["nodata_holes"] = g2
+    g3 = np.full((n, n), 80.0, dtype=np.float32)
+    idx = rng.choice(n * n, n * n // 5, replace=False)
+    g3.ravel()[idx] += rng.uniform(2, 12, n * n // 5).astype(np.float32)
+    scenes["vegetation"] = g3
+    for i, (name, grid) in enumerate(scenes.items()):
+        rows.append(
+            {
+                "image_id": f"big_{i}_{name}",
+                "bytes": codecs.encode_raw_f32(grid),
+                "w": n,
+                "h": n,
+                "fmt": "raw_f32",
+                "caption": f"{name} 512px res=2m",
+                "phash": codecs.ahash64(grid),
+                "lon0": 2.0 + i * 0.5,
+                "lat0": 36.0 + i * 0.25,
+                "xres_m": 2.0,
+                "yres_m": 2.0,
+                "crs": 32631,
+            }
+        )
+    return pd.DataFrame(rows).astype({"w": "int32", "h": "int32"})
+
+
+class TestTileGrid:
+    def test_partition_exact(self):
+        tiles = tiling.tile_grid(512, 512, 128)
+        assert len(tiles) == 16
+        cover = np.zeros((512, 512), dtype=int)
+        for _, _, y, x, h, w in tiles:
+            cover[y : y + h, x : x + w] += 1
+        assert (cover == 1).all()
+
+    def test_remainder_tiles(self):
+        tiles = tiling.tile_grid(300, 500, 128)
+        assert max(t[0] for t in tiles) == 2 and max(t[1] for t in tiles) == 3
+        cover = np.zeros((300, 500), dtype=int)
+        for _, _, y, x, h, w in tiles:
+            cover[y : y + h, x : x + w] += 1
+        assert (cover == 1).all()
+
+
+class TestTiledParity:
+    @pytest.fixture(scope="class")
+    def pdf(self):
+        return big_image_pdf()
+
+    @pytest.fixture(scope="class")
+    def goldens(self, pdf):
+        out = {}
+        for row in pdf.itertuples(index=False):
+            grid = codecs.decode(row.bytes, row.h, row.w, row.fmt)
+            out[row.image_id] = golden.dsm_to_dtm(grid, (row.xres_m, row.yres_m), radius_m=RADIUS)
+        return out
+
+    def test_tiled_equals_whole_image_bitexact(self, spark, pdf, goldens):
+        sdf = spark.createDataFrame(pdf)
+        result = tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS).collect()
+        assert len(result) == len(pdf)
+        for r in result:
+            got = codecs.decode(bytes(r.bytes), r.h, r.w, r.fmt)
+            np.testing.assert_array_equal(got, goldens[r.image_id], err_msg=r.image_id)
+            assert r.caption == pdf[pdf.image_id == r.image_id].caption.iloc[0]
+
+    def test_assignments_deterministic_and_match_payload_path(self, spark, pdf):
+        sdf = spark.createDataFrame(pdf)
+        a1 = tiling.tile_assignments(sdf, tile_px=128).orderBy("image_id", "tile_row", "tile_col").collect()
+        a2 = tiling.tile_assignments(sdf, tile_px=128).orderBy("image_id", "tile_row", "tile_col").collect()
+        assert a1 == a2
+        # payload-path (emit_tiles) must key tiles into the SAME cells
+        stats = tiling.image_stats(sdf, RADIUS, None)
+        tiles = tiling.emit_tiles(
+            sdf.join(stats.select("image_id", "halo_px"), on="image_id"), tile_px=128
+        ).select("image_id", "tile_row", "tile_col", "cell_id")
+        t = {(r.image_id, r.tile_row, r.tile_col): r.cell_id for r in tiles.collect()}
+        for r in a1:
+            assert t[(r.image_id, r.tile_row, r.tile_col)] == r.cell_id
+
+    def test_salt_spreads_hot_cell(self, spark, pdf):
+        sdf = spark.createDataFrame(pdf)
+        stats = tiling.image_stats(sdf, RADIUS, None)
+        tiles = tiling.emit_tiles(sdf.join(stats.select("image_id", "halo_px"), on="image_id"), tile_px=128)
+        salts = tiles.select("salt").distinct().collect()
+        assert len(salts) > 1  # hot cells are split across salt buckets
+
+
+class TestImageStats:
+    def test_stats_match_golden_params(self, spark):
+        pdf = big_image_pdf().iloc[:1]
+        sdf = spark.createDataFrame(pdf)
+        s = tiling.image_stats(sdf, RADIUS, None).collect()[0]
+        grid = codecs.decode(pdf.bytes.iloc[0], 512, 512, "raw_f32")
+        assert s.min_valid == pytest.approx(float(grid[grid != NODATA_DEFAULT].min()))
+        assert s.slope_used == pytest.approx(golden.terrain_slope(grid, 2.0, NODATA_DEFAULT))
+        assert s.max_window == 15  # int(15/2)*2+1
+        assert s.halo_px == 75
+
+    def test_coarse_path_rejected(self, spark):
+        pdf = synth.image_table(4, seed=1, sizes=(50,), fmts=("raw_f32",))
+        pdf["xres_m"] = 0.01
+        pdf["yres_m"] = 0.01
+        sdf = spark.createDataFrame(pdf.drop(columns=["scenario"]))
+        with pytest.raises(Exception, match="coarse path"):
+            tiling.image_stats(sdf, RADIUS, None).collect()
