@@ -1,0 +1,190 @@
+"""Spatial join and kNN join over the S2-style cell index (SURVEY.md E6, E7).
+
+Spatial join (footprints × tiles), two phases per the north_rule:
+ 1. coarse: footprint bbox → covering cells (batched encode) → **broadcast
+    hash equi-join** on cell_id against the tile-assignment table (the
+    footprint side is small — dims ≪ image table);
+ 2. refine: exact point-in-polygon (vectorized even-odd ray casting in a
+    pandas UDF) of the tile center against the polygon.
+
+kNN join (queries × points): iterative ring expansion — candidates gathered
+by equi-joining on the (2R+1)² cell block around each query, exact top-k by
+distance via a ranking window, with a distance certificate (k-th distance ≤
+R·cell_extent ⇒ no point outside the block can do better) deciding which
+queries need a wider ring. Distances are Euclidean in degree space.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, BooleanType, LongType
+
+from dsm2dtm_spark.operators import cellindex
+
+JOIN_CELL_RES = 8  # coarse join resolution: ~1.4° cells
+
+
+# ----------------------------------------------------------------- coverage
+
+
+def with_cover_cells(footprints: DataFrame, res: int = JOIN_CELL_RES) -> DataFrame:
+    """Add ``cell_ids: array<bigint>`` covering each footprint's bbox."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cover(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                cellindex.cover_bbox(float(a), float(b), float(c), float(d), res).tolist()
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    return footprints.withColumn("cell_ids", cover("x0", "y0", "x1", "y1"))
+
+
+# --------------------------------------------------------- point in polygon
+
+
+def points_in_polygon(xs: np.ndarray, ys: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: is (px[i], py[i]) inside the polygon
+    (xs, ys)? Boundary points count as inside on the left/bottom edges
+    (half-open), which is deterministic and matches the SQL BETWEEN oracle on
+    axis-aligned rectangles for non-degenerate test points."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(xs)
+    j = n - 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(n):
+            xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+            # horizontal edges divide by zero, but their crossing mask is
+            # False so the poisoned term is never selected
+            crosses = ((yi > py) != (yj > py)) & (px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+            inside ^= crosses
+            j = i
+    return inside
+
+
+# ------------------------------------------------------------- spatial join
+
+
+def spatial_join_tiles(
+    footprints: DataFrame,
+    tile_centers: DataFrame,
+    res: int = JOIN_CELL_RES,
+) -> DataFrame:
+    """footprints(footprint_id, xs, ys, x0, y0, x1, y1, ...) ×
+    tile_centers(image_id, tile_row, tile_col, lon_c, lat_c) →
+    (footprint_id, image_id, tile_row, tile_col) where the tile center lies
+    inside the polygon.
+
+    The equi-join key is the cell id; the footprint side (cover cells
+    exploded) is broadcast. The bbox pre-filter runs JVM-side before the
+    Python PIP refinement touches anything.
+    """
+    fp = (
+        with_cover_cells(footprints, res)
+        .select("footprint_id", "xs", "ys", "x0", "y0", "x1", "y1", F.explode("cell_ids").alias("cell_id"))
+    )
+    tiles = tile_centers.withColumn(
+        "cell_id", cellindex.cell_expr(F.col("lon_c"), F.col("lat_c"), res)
+    )
+    cand = tiles.join(F.broadcast(fp), on="cell_id", how="inner").filter(
+        (F.col("lon_c") >= F.col("x0"))
+        & (F.col("lon_c") <= F.col("x1"))
+        & (F.col("lat_c") >= F.col("y0"))
+        & (F.col("lat_c") <= F.col("y1"))
+    )
+
+    @F.pandas_udf(BooleanType())
+    def pip(xs: pd.Series, ys: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        for i in range(len(px)):
+            out[i] = points_in_polygon(
+                np.asarray(xs.iloc[i], dtype=np.float64),
+                np.asarray(ys.iloc[i], dtype=np.float64),
+                np.asarray([px.iloc[i]]),
+                np.asarray([py.iloc[i]]),
+            )[0]
+        return pd.Series(out)
+
+    return (
+        cand.filter(pip("xs", "ys", "lon_c", "lat_c"))
+        .select("footprint_id", "image_id", "tile_row", "tile_col")
+    )
+
+
+# ---------------------------------------------------------------- kNN join
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    res: int = JOIN_CELL_RES,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """queries(query_id, x, y) × points(point_id, x, y) → exact k nearest
+    points per query: (query_id, point_id, dist, rank).
+
+    Ring expansion: round r joins on the (2R+1)² cell block (R doubles each
+    round); a query is settled once its k-th distance is certified — no point
+    outside the block can beat it. Unsettled queries after max_rounds fall
+    back to a full join (correct, and only for stragglers in empty regions).
+    Ties break deterministically on point_id.
+    """
+    deg_x = 360.0 / (1 << res)
+    deg_y = 180.0 / (1 << res)
+    cert_unit = min(deg_x, deg_y)
+
+    pts = points.withColumn("pcell", cellindex.cell_expr(F.col("x"), F.col("y"), res)).select(
+        "point_id", F.col("x").alias("px"), F.col("y").alias("py"), "pcell"
+    )
+
+    def ring_udf(radius: int):
+        @F.pandas_udf(ArrayType(LongType()))
+        def ring(x: pd.Series, y: pd.Series) -> pd.Series:
+            base = cellindex.encode_cells(x.to_numpy(), y.to_numpy(), res)
+            return pd.Series([cellindex.ring_cells(int(c), radius).tolist() for c in base])
+
+        return ring
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("point_id").asc())
+    remaining = queries.select("query_id", "x", "y")
+    settled_parts: list[DataFrame] = []
+    radius = 1
+    for _ in range(max_rounds):
+        if not remaining.take(1):
+            break
+        cand = (
+            remaining.withColumn("qcell", F.explode(ring_udf(radius)("x", "y")))
+            .join(pts, on=F.col("qcell") == F.col("pcell"), how="inner")
+            .withColumn(
+                "dist",
+                F.sqrt(F.pow(F.col("x") - F.col("px"), 2) + F.pow(F.col("y") - F.col("py"), 2)),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        kth = cand.groupBy("query_id").agg(F.max("dist").alias("kth"), F.count("*").alias("n"))
+        # strict <: an outside point could tie at exactly R·unit, so only a
+        # strictly smaller k-th distance certifies the exact result set
+        certified = kth.filter((F.col("n") == k) & (F.col("kth") < radius * cert_unit)).select("query_id")
+        settled_parts.append(
+            cand.join(certified, on="query_id", how="inner").select("query_id", "point_id", "dist", "rank")
+        )
+        remaining = remaining.join(certified, on="query_id", how="left_anti")
+        radius *= 2
+
+    leftovers = remaining.crossJoin(pts).withColumn(
+        "dist", F.sqrt(F.pow(F.col("x") - F.col("px"), 2) + F.pow(F.col("y") - F.col("py"), 2))
+    ).withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select(
+        "query_id", "point_id", "dist", "rank"
+    )
+    out = leftovers
+    for part in settled_parts:
+        out = out.unionByName(part)
+    return out
