@@ -1,0 +1,165 @@
+"""Training-data operator tests: dedup family, text analysis, similarity
+search, multimodal plumbing — Spark results vs Python references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dsm2dtm_spark.functions import text as T
+from dsm2dtm_spark.operators import dedup as D
+from dsm2dtm_spark.operators import multimodal as M
+from dsm2dtm_spark.operators import simsearch as S
+
+DOCS = [
+    (1, "the cat sat on the mat and it was good", "en"),
+    (2, "the cat sat on the mat and it was good", "en"),  # exact dup of 1
+    (3, "the cat sat on the mat and it was great", "en"),  # near dup of 1
+    (4, "der hund ist nicht auf der matte und das ist gut", "de"),
+    (5, "le chat est dans la maison et les chiens pas", "fr"),
+    (6, "zzzz qqqq xxxx", "und"),
+    (7, "el perro es grande y los gatos con la casa", "es"),
+    (8, "completely different text about spark engines for terrain", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text", "lang_true"]))
+
+
+class TestExactDedup:
+    def test_keeps_smallest_id(self, spark, docs_df):
+        out = D.exact_dedup(docs_df).select("doc_id").collect()
+        ids = sorted(r.doc_id for r in out)
+        assert ids == [1, 3, 4, 5, 6, 7, 8]  # 2 removed, 1 kept
+
+
+class TestJaccard:
+    def test_known_pair(self, spark):
+        pairs = spark.createDataFrame(pd.DataFrame({"a": ["abcd"], "b": ["abcx"]}))
+        j = D.ngram_jaccard(pairs, "a", "b").collect()[0].jaccard
+        # 3-grams: {abc,bcd} vs {abc,bcx} → 1/3
+        assert j == pytest.approx(1 / 3, abs=1e-4)
+
+    def test_near_dup_scores_high(self, spark, docs_df):
+        d = docs_df.selectExpr("doc_id as left_id", "text as left_text")
+        e = docs_df.selectExpr("doc_id as right_id", "text as right_text")
+        pairs = d.crossJoin(e).filter("left_id < right_id")
+        out = {(r.left_id, r.right_id): r.jaccard for r in D.ngram_jaccard(pairs, "left_text", "right_text").collect()}
+        assert out[(1, 2)] == 1.0
+        assert out[(1, 3)] > 0.7
+        assert out[(1, 8)] < 0.3
+
+
+class TestMinhashLSH:
+    def test_finds_dups_and_near_dups(self, spark, docs_df):
+        out = D.minhash_near_dups(docs_df, threshold=0.7).collect()
+        pairs = {(r.left_id, r.right_id) for r in out}
+        assert (1, 2) in pairs
+        assert (1, 3) in pairs or (2, 3) in pairs
+        assert all(j.jaccard >= 0.7 for j in out)
+
+    def test_signature_shape_and_determinism(self, spark, docs_df):
+        s1 = {r.doc_id: r.signature for r in D.minhash_signatures(docs_df, n_hashes=16).collect()}
+        s2 = {r.doc_id: r.signature for r in D.minhash_signatures(docs_df, n_hashes=16).collect()}
+        assert s1 == s2
+        assert all(len(v) == 16 for v in s1.values())
+        assert s1[1] == s1[2]  # identical docs → identical signatures
+
+
+class TestSimhash:
+    def test_identical_docs_same_hash_near_dups_close(self, spark, docs_df):
+        out = {r.doc_id: r.simhash for r in D.simhash64(docs_df).collect()}
+        assert out[1] == out[2]
+        ham13 = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+        ham18 = bin((out[1] ^ out[8]) & ((1 << 64) - 1)).count("1")
+        assert ham13 < ham18
+
+
+class TestTextFunctions:
+    def test_token_count_and_quality(self, spark, docs_df):
+        out = {r.doc_id: r for r in T.quality_features(docs_df).collect()}
+        assert out[1].n_tokens == 10
+        assert out[1].stopword_ratio > 0.3
+        assert out[6].stopword_ratio == 0.0
+
+    def test_language_id(self, spark, docs_df):
+        out = {r.doc_id: r.lang_pred for r in T.language_id(docs_df).collect()}
+        assert out[1] == "en" and out[4] == "de" and out[5] == "fr" and out[7] == "es"
+        assert out[6] == "und"
+
+    def test_rolling_hash_matches_python(self, spark, docs_df):
+        got = {r.doc_id: r.fp for r in docs_df.select("doc_id", T.rolling_hash64(docs_df.text).alias("fp")).collect()}
+        for doc_id, txt, _ in DOCS:
+            h = 0
+            for ch in txt:
+                h = (h * 131 + ord(ch)) & ((1 << T.ROLLING_HASH_BITS) - 1)
+            assert got[doc_id] == h, doc_id
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(40, 8)).astype(np.float32)
+        base[7] = base[3] + rng.normal(0, 0.01, 8).astype(np.float32)  # planted neighbor
+        pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in base]})
+        return pdf, spark.createDataFrame(pdf)
+
+    def test_brute_force_matches_numpy(self, spark, vecs):
+        pdf, sdf = vecs
+        queries = sdf.filter("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+        got = S.brute_force_topk(sdf, queries, k=3).collect()
+        emb = np.array(pdf.embedding.tolist(), dtype=np.float64)
+        norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        for qid in range(5):
+            s = sims[qid].copy()
+            s[qid] = -np.inf
+            want = sorted(range(40), key=lambda i: (-round(s[i], 6), i))[:3]
+            mine = [r.neighbor_id for r in sorted((x for x in got if x.query_id == qid), key=lambda r: r.rank)]
+            assert mine == want, qid
+
+    def test_lsh_recall_reasonable(self, spark, vecs):
+        pdf, sdf = vecs
+        queries = sdf.filter("vec_id = 3").selectExpr("vec_id as query_id", "embedding")
+        got = S.lsh_topk(sdf, queries, k=3, dim=8, n_planes=4).collect()
+        assert 7 in {r.neighbor_id for r in got}  # planted near-identical vector found
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(6):
+            img = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+            rows.append({"media_id": f"m{i}", "bytes": M.fake_rgb8_encode(img), "h": 16, "w": 12, "fmt": "fake_rgb8"})
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_features(self, spark, media):
+        out = M.media_features(media).collect()
+        assert len(out) == 6
+        for r in out:
+            assert len(r.mean_rgb) == 3 and len(r.luma_hist) == 16
+            assert sum(r.luma_hist) == 16 * 12
+
+    def test_resize(self, spark, media):
+        out = M.media_resize(media, 8, 6).collect()
+        assert all(r.h == 8 and r.w == 6 and len(bytes(r.bytes)) == 8 * 6 * 3 for r in out)
+
+    def test_real_codec_raises(self):
+        with pytest.raises(NotImplementedError):
+            M.media_decode_stub(b"", 1, 1, "jpeg")
+
+    def test_frame_sample(self, spark):
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        frames = b"".join(M.fake_rgb8_encode(img + i) for i in range(10))
+        df = spark.createDataFrame(
+            pd.DataFrame([{"media_id": "v0", "bytes": frames, "h": 4, "w": 4, "n_frames": 10}])
+        )
+        out = M.frame_sample(df, every_n=3).collect()
+        assert sorted(r.frame_idx for r in out) == [0, 3, 6, 9]
+        assert all(bytes(r.bytes)[0] == r.frame_idx for r in out)
