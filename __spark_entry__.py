@@ -1,38 +1,688 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship DTM pipeline smoke over a deterministic synthetic
+image batch. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2 (and the training-data operator set), each Spark
+query paired with an ANSI-SQL DuckDB oracle over the same data. Columns are
+aliased identically on both sides; float aggregates are rounded on both sides
+(the driver hashes values order-insensitively but exactly).
+
+Image-table queries run over a deterministic synthetic parquet trio
+(images / footprints / knn_queries) generated on first use under
+``data/contract/`` (seeded; FIXTURES.md) — their oracles read the same files
+via ``read_parquet``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dsm2dtm_spark.functions.text import STOPWORDS
+from dsm2dtm_spark.operators.cellindex import cell_encode_sql, cell_expr
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CONTRACT_DIR = os.path.join(_REPO, "data", "contract")
+_IMAGES_PQ = os.path.join(_CONTRACT_DIR, "images.parquet")
+_FOOTPRINTS_PQ = os.path.join(_CONTRACT_DIR, "footprints.parquet")
+_KNN_PQ = os.path.join(_CONTRACT_DIR, "knn_queries.parquet")
+
+SHIP_CUTOFF = "1995-09-01"
+
+
+def _ensure_contract_tables() -> None:
+    """Deterministic synthetic image/footprint/knn parquet (idempotent)."""
+    if os.path.exists(_IMAGES_PQ) and os.path.exists(_FOOTPRINTS_PQ) and os.path.exists(_KNN_PQ):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dsm2dtm_spark import synth
+
+    os.makedirs(_CONTRACT_DIR, exist_ok=True)
+    images = synth.image_table(n_rows=80, seed=42, sizes=(50, 64, 80), dup_fraction=0.05)
+    pq.write_table(pa.Table.from_pandas(images, preserve_index=False), _IMAGES_PQ)
+    pq.write_table(pa.Table.from_pandas(synth.footprint_table(50, seed=43), preserve_index=False), _FOOTPRINTS_PQ)
+    pq.write_table(pa.Table.from_pandas(synth.knn_query_table(40, seed=44), preserve_index=False), _KNN_PQ)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _images(spark: SparkSession) -> DataFrame:
+    _ensure_contract_tables()
+    return spark.read.parquet(_IMAGES_PQ)
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DSM→DTM over a deterministic synthetic image batch; returns
+    one row per image with lineage/throughput metrics plus a relational
+    summary join against the sf0.001 star schema (proves both engine halves)."""
+    from dsm2dtm_spark.plans import dtm_transform
+
+    _ensure_contract_tables()
+    images = spark.read.parquet(_IMAGES_PQ).limit(12)
+    dtm = dtm_transform(images, radius_m=40.0)
+    out = dtm.select("image_id", "fmt", "w", "h", "valid_in", "valid_out", "partition_id")
+    return out.orderBy("image_id")
+
+
+# ------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- relational core (TPC-H-ish views under sf_dir)
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_revenue_orders(spark, sf):
+        c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    q["q3_top_revenue_orders"] = q3_top_revenue_orders
+
+    def q5_nation_volume(spark, sf):
+        # local-supplier volume: customer and supplier in the same nation
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        )
+
+    q["q5_nation_volume"] = q5_nation_volume
+
+    def broadcast_region_customers(spark, sf):
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        c = _t(spark, sf, "customer")
+        dim = n.join(r, n.n_regionkey == r.r_regionkey)  # small — broadcast it
+        return (
+            c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+        )
+
+    q["broadcast_region_customers"] = broadcast_region_customers
+
+    def window_top3_orders_per_customer(spark, sf):
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn", F.round("o_totalprice", 2).alias("price"))
+        )
+
+    q["window_top3_orders_per_customer"] = window_top3_orders_per_customer
+
+    def rollup_lineitem_flags(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n",
+                "sum_qty",
+            )
+        )
+
+    q["rollup_lineitem_flags"] = rollup_lineitem_flags
+
+    def anti_join_no_big_order(spark, sf):
+        # customers with no order above 300k — resume-style left_anti (E12)
+        c = _t(spark, sf, "customer")
+        big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+        idle = c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        return idle.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+        )
+
+    q["anti_join_no_big_order"] = anti_join_no_big_order
+
+    def semi_join_discounted_orders(spark, sf):
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem").filter(F.col("l_discount") >= 0.08)
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    q["semi_join_discounted_orders"] = semi_join_discounted_orders
+
+    def except_low_value_custkeys(spark, sf):
+        o = _t(spark, sf, "orders")
+        all_ck = o.select("o_custkey")
+        high = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+        return all_ck.exceptAll(high).distinct().withColumnRenamed("o_custkey", "custkey")
+
+    q["except_low_value_custkeys"] = except_low_value_custkeys
+
+    def utm_zone_histogram(spark, sf):
+        # UTM zone math (reference utm_utils.py:42-45) over synthetic coords
+        # derived from customer keys — SQL-replayable arithmetic
+        c = _t(spark, sf, "customer")
+        lon = (F.col("c_custkey") % 360) - 180 + 0.5
+        lat = ((F.col("c_custkey") * 7) % 180) - 90 + 0.5
+        zone = (F.floor((lon + 180.0) / 6.0) % 60 + 1).cast("long")
+        epsg = F.when(lat < 0, 32700).otherwise(32600) + zone
+        return c.select(epsg.alias("epsg")).groupBy("epsg").agg(F.count("*").alias("n"))
+
+    q["utm_zone_histogram"] = utm_zone_histogram
+
+    def cell_encode_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        lon = (F.pmod(F.col("user_id") * 37, F.lit(360)) - 180) + 0.25
+        lat = (F.pmod(F.col("user_id") * 13, F.lit(180)) - 90) + 0.25
+        return (
+            ev.select(cell_expr(lon, lat, 12).alias("cell_id"))
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["cell_encode_events"] = cell_encode_events
+
+    def events_daily_by_type(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        )
+
+    q["events_daily_by_type"] = events_daily_by_type
+
+    def events_user_rank_by_type(spark, sf):
+        ev = _t(spark, sf, "events")
+        totals = ev.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+        w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+        return totals.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+    q["events_user_rank_by_type"] = events_user_rank_by_type
+
+    def exact_distinct_users(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+    q["exact_distinct_users"] = exact_distinct_users
+
+    def approx_distinct_users(spark, sf):  # rows-only: sketch is engine-specific
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+
+    q["approx_distinct_users"] = approx_distinct_users
+
+    # ---------------- documents: text analysis + dedup
+
+    def docs_token_stats(spark, sf):
+        from dsm2dtm_spark.functions.text import quality_features
+
+        d = _t(spark, sf, "documents")
+        return quality_features(d).select(
+            "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
+        )
+
+    q["docs_token_stats"] = docs_token_stats
+
+    def docs_lang_id(spark, sf):
+        from dsm2dtm_spark.functions.text import language_id
+
+        d = _t(spark, sf, "documents")
+        return language_id(d).select("doc_id", "lang_pred", F.col("hits").cast("long").alias("hits"))
+
+    q["docs_lang_id"] = docs_lang_id
+
+    def docs_exact_dedup(spark, sf):
+        from dsm2dtm_spark.operators.dedup import exact_dedup
+
+        d = _t(spark, sf, "documents")
+        return exact_dedup(d).select("doc_id")
+
+    q["docs_exact_dedup"] = docs_exact_dedup
+
+    def docs_fingerprints(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", F.md5("text").alias("fp"))
+
+    q["docs_fingerprints"] = docs_fingerprints
+
+    def docs_jaccard_consecutive(spark, sf):
+        from dsm2dtm_spark.operators.dedup import ngram_jaccard
+
+        d = _t(spark, sf, "documents")
+        left = d.selectExpr("doc_id AS left_id", "text AS left_text")
+        right = d.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "text AS right_text")
+        pairs = left.join(right, on="left_id")
+        return ngram_jaccard(pairs, "left_text", "right_text").select("left_id", "right_id", "jaccard")
+
+    q["docs_jaccard_consecutive"] = docs_jaccard_consecutive
+
+    def docs_minhash_near_dups(spark, sf):  # rows-only: xxhash64 not in DuckDB
+        from dsm2dtm_spark.operators.dedup import minhash_near_dups
+
+        d = _t(spark, sf, "documents")
+        return minhash_near_dups(d, threshold=0.6)
+
+    q["docs_minhash_near_dups"] = docs_minhash_near_dups
+
+    def docs_simhash(spark, sf):  # rows-only: xxhash64 not in DuckDB
+        from dsm2dtm_spark.operators.dedup import simhash64
+
+        d = _t(spark, sf, "documents")
+        return simhash64(d)
+
+    q["docs_simhash"] = docs_simhash
+
+    # ---------------- embeddings: similarity search
+
+    def emb_norm_stats(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+        return e.groupBy("label").agg(F.count("*").alias("n"), F.round(F.avg(norm), 4).alias("avg_norm"))
+
+    q["emb_norm_stats"] = emb_norm_stats
+
+    def emb_topk_cosine(spark, sf):
+        from dsm2dtm_spark.operators.simsearch import brute_force_topk
+
+        e = _t(spark, sf, "embeddings")
+        queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
+        return brute_force_topk(e, queries_df, k=5).select("query_id", "neighbor_id", "rank")
+
+    q["emb_topk_cosine"] = emb_topk_cosine
+
+    def emb_lsh_topk(spark, sf):  # rows-only: approximate by design
+        from dsm2dtm_spark.operators.simsearch import lsh_topk
+
+        e = _t(spark, sf, "embeddings")
+        dim = len(e.select("embedding").first()[0])
+        queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
+        return lsh_topk(e, queries_df, k=5, dim=dim)
+
+    q["emb_lsh_topk"] = emb_lsh_topk
+
+    # ---------------- image table: metadata, cells, tiles, joins, kNN
+
+    def img_meta_stats(spark, sf):
+        img = _images(spark)
+        return img.groupBy("fmt").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"),
+            F.countDistinct("phash").alias("n_phash"),
+        )
+
+    q["img_meta_stats"] = img_meta_stats
+
+    def img_phash_dedup(spark, sf):
+        img = _images(spark)
+        w = Window.partitionBy("phash").orderBy("image_id")
+        return img.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("image_id", "phash")
+
+    q["img_phash_dedup"] = img_phash_dedup
+
+    def img_cell_ids(spark, sf):
+        img = _images(spark)
+        return img.select("image_id", cell_expr(F.col("lon0"), F.col("lat0"), 12).alias("cell_id"))
+
+    q["img_cell_ids"] = img_cell_ids
+
+    def img_tile_assignments(spark, sf):
+        from dsm2dtm_spark.operators.tiling import tile_assignments
+
+        img = _images(spark)
+        return tile_assignments(img, tile_px=32, cell_res=14)
+
+    q["img_tile_assignments"] = img_tile_assignments
+
+    def img_spatial_join_rect(spark, sf):
+        from dsm2dtm_spark.operators.spatial import spatial_join_tiles
+
+        _ensure_contract_tables()
+        img = _images(spark)
+        fp = spark.read.parquet(_FOOTPRINTS_PQ).filter(F.col("kind") == "rect")
+        centers = img.select(
+            "image_id",
+            F.lit(0).alias("tile_row"),
+            F.lit(0).alias("tile_col"),
+            F.col("lon0").alias("lon_c"),
+            F.col("lat0").alias("lat_c"),
+        )
+        return spatial_join_tiles(fp, centers).select("footprint_id", "image_id")
+
+    q["img_spatial_join_rect"] = img_spatial_join_rect
+
+    def img_knn_anchors(spark, sf):
+        from dsm2dtm_spark.operators.spatial import knn_join
+
+        _ensure_contract_tables()
+        img = _images(spark)
+        queries_df = spark.read.parquet(_KNN_PQ).select("query_id", "x", "y")
+        points = img.select(F.col("image_id").alias("point_id"), F.col("lon0").alias("x"), F.col("lat0").alias("y"))
+        return knn_join(queries_df, points, k=4).select("query_id", "point_id", "rank")
+
+    q["img_knn_anchors"] = img_knn_anchors
+
+    def dtm_pipeline_metrics(spark, sf):  # rows-only: the non-SQL flagship op
+        from dsm2dtm_spark.plans import dtm_transform
+
+        img = _images(spark).limit(16)
+        return dtm_transform(img, radius_m=40.0).select("image_id", "fmt", "valid_in", "valid_out")
+
+    q["dtm_pipeline_metrics"] = dtm_pipeline_metrics
+
+    return q
+
+
+# -------------------------------------------------------------------- oracle
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q3_top_revenue_orders"] = """
+        SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    o["q5_nation_volume"] = """
+        SELECT r_name, n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY r_name, n_name
+    """
+
+    o["broadcast_region_customers"] = """
+        SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    o["window_top3_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, rn, ROUND(o_totalprice, 2) AS price FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """
+
+    o["rollup_lineitem_flags"] = """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["anti_join_no_big_order"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 2) AS avg_bal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+    """
+
+    o["semi_join_discounted_orders"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+        GROUP BY o_orderpriority
+    """
+
+    o["except_low_value_custkeys"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM (
+            SELECT o_custkey FROM orders
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        )
+    """
+
+    o["utm_zone_histogram"] = """
+        SELECT CAST(CASE WHEN lat < 0 THEN 32700 ELSE 32600 END
+                    + (CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) % 60 + 1) AS BIGINT) AS epsg,
+               COUNT(*) AS n
+        FROM (SELECT (c_custkey % 360) - 180 + 0.5 AS lon,
+                     ((c_custkey * 7) % 180) - 90 + 0.5 AS lat
+              FROM customer)
+        GROUP BY 1
+    """
+
+    cell12 = cell_encode_sql("lon", "lat", 12)
+    o["cell_encode_events"] = f"""
+        SELECT {cell12} AS cell_id, COUNT(*) AS n
+        FROM (SELECT ((user_id * 37) % 360) - 180 + 0.25 AS lon,
+                     ((user_id * 13) % 180) - 90 + 0.25 AS lat
+              FROM events)
+        GROUP BY 1
+    """
+
+    o["events_daily_by_type"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["events_user_rank_by_type"] = """
+        SELECT event_type, user_id, total, rnk FROM (
+            SELECT event_type, user_id, ROUND(SUM(value), 2) AS total,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ROUND(SUM(value), 2) DESC, user_id ASC) AS rnk
+            FROM events GROUP BY event_type, user_id
+        ) WHERE rnk <= 5
+    """
+
+    o["exact_distinct_users"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+    """
+
+    # approx_distinct_users: intentionally no oracle (sketch-based)
+
+    o["docs_token_stats"] = """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND((length(text) - len(toks) + 1) / len(toks), 3) AS avg_token_len,
+               ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 4)
+                   AS punct_ratio,
+               ROUND(len(list_filter(toks, t -> list_contains(
+                   ['the','and','of','to','is','in','that','it','was','for'], t))) / len(toks), 4)
+                   AS stopword_ratio
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split(lower(text), ' '), t -> t != '') AS toks
+              FROM documents)
+    """
+
+    lex_values = ", ".join(f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws)
+    o["docs_lang_id"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS word
+            FROM documents
+        ),
+        lex(lang_cand, word) AS (VALUES {lex_values}),
+        votes AS (
+            SELECT doc_id, lang_cand, COUNT(*) AS hits
+            FROM toks JOIN lex USING (word) GROUP BY doc_id, lang_cand
+        ),
+        best AS (
+            SELECT doc_id, lang_cand, hits,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand ASC) AS rn
+            FROM votes
+        )
+        SELECT d.doc_id,
+               COALESCE(b.lang_cand, 'und') AS lang_pred,
+               CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+    o["docs_exact_dedup"] = """
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """
+
+    o["docs_fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+    o["docs_jaccard_consecutive"] = """
+        WITH sh AS (
+            SELECT d.doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(d.text) - 2, 1)),
+                       i -> substr(lower(d.text), CAST(i AS INTEGER), 3))) AS grams
+            FROM documents d
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               ROUND(len(list_intersect(a.grams, b.grams))
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """
+
+    o["emb_norm_stats"] = """
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))), 4)
+                   AS avg_norm
+        FROM embeddings GROUP BY label
+    """
+
+    o["emb_topk_cosine"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ROUND(list_dot_product(q.qvec, c.cvec)
+                         / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+                       AS cosine
+            FROM q, c WHERE q.query_id != c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
+    img = f"read_parquet('{_IMAGES_PQ}')"
+    fps = f"read_parquet('{_FOOTPRINTS_PQ}')"
+    knn = f"read_parquet('{_KNN_PQ}')"
+
+    o["img_meta_stats"] = f"""
+        SELECT fmt, COUNT(*) AS n, CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS pixels,
+               COUNT(DISTINCT phash) AS n_phash
+        FROM {img} GROUP BY fmt
+    """
+
+    o["img_phash_dedup"] = f"""
+        SELECT image_id, phash FROM (
+            SELECT image_id, phash, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY image_id ASC) AS rn
+            FROM {img}
+        ) WHERE rn = 1
+    """
+
+    o["img_cell_ids"] = f"SELECT image_id, {cell_encode_sql('lon0', 'lat0', 12)} AS cell_id FROM {img}"
+
+    tile_px = 32
+    cell14_sql = cell_encode_sql("lon_c", "lat_c", 14)
+    o["img_tile_assignments"] = f"""
+        WITH grid AS (
+            SELECT image_id, h, w, lon0, lat0, xres_m, yres_m,
+                   unnest(generate_series(0, CAST(ceil(h / {tile_px}.0) AS BIGINT) - 1)) AS tile_row
+            FROM {img}
+        ),
+        grid2 AS (
+            SELECT *, unnest(generate_series(0, CAST(ceil(w / {tile_px}.0) AS BIGINT) - 1)) AS tile_col
+            FROM grid
+        ),
+        centers AS (
+            SELECT image_id, CAST(tile_row AS INTEGER) AS tile_row, CAST(tile_col AS INTEGER) AS tile_col,
+                   lat0 - ((tile_row * {tile_px} + least({tile_px}, h - tile_row * {tile_px}) / 2.0) * yres_m)
+                       / 110540.0 AS lat_c,
+                   lon0 + ((tile_col * {tile_px} + least({tile_px}, w - tile_col * {tile_px}) / 2.0) * xres_m)
+                       / (111320.0 * (1.0 - 1.523e-4 * lat0 * lat0)) AS lon_c
+            FROM grid2
+        )
+        SELECT image_id, tile_row, tile_col, {cell14_sql} AS cell_id FROM centers
+    """
+
+    o["img_spatial_join_rect"] = f"""
+        SELECT f.footprint_id, i.image_id
+        FROM {fps} f JOIN {img} i
+          ON i.lon0 BETWEEN f.x0 AND f.x1 AND i.lat0 BETWEEN f.y0 AND f.y1
+        WHERE f.kind = 'rect'
+    """
+
+    o["img_knn_anchors"] = f"""
+        SELECT query_id, point_id, rank FROM (
+            SELECT q.query_id, i.image_id AS point_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY sqrt((q.x - i.lon0) * (q.x - i.lon0)
+                                                  + (q.y - i.lat0) * (q.y - i.lat0)) ASC,
+                                               i.image_id ASC) AS rank
+            FROM {knn} q, {img} i
+        ) WHERE rank <= 4
+    """
+
+    return o

@@ -106,7 +106,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     n_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact n-gram-Jaccard verification ≥ threshold."""

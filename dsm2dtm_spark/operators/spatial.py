@@ -164,7 +164,7 @@ def knn_join(
             .join(pts, on=F.col("qcell") == F.col("pcell"), how="inner")
             .withColumn(
                 "dist",
-                F.sqrt(F.pow(F.col("x") - F.col("px"), 2) + F.pow(F.col("y") - F.col("py"), 2)),
+                F.sqrt((F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))),
             )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -180,7 +180,7 @@ def knn_join(
         radius *= 2
 
     leftovers = remaining.crossJoin(pts).withColumn(
-        "dist", F.sqrt(F.pow(F.col("x") - F.col("px"), 2) + F.pow(F.col("y") - F.col("py"), 2))
+        "dist", F.sqrt((F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")))
     ).withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select(
         "query_id", "point_id", "dist", "rank"
     )

@@ -63,6 +63,15 @@ from dsm2dtm_spark.params import (
 # equirectangular meters→degrees anchors shared with the SQL oracle
 M_PER_DEG_LAT = 110540.0
 M_PER_DEG_LON_EQ = 111320.0
+# Longitude-scale factor: a fixed quadratic stand-in for cos(lat) built from
+# exactly-rounded IEEE mul/add only, so Spark (JVM Math.cos) and DuckDB (libm
+# cos) cannot disagree by an ulp and flip a cell-boundary floor. Accuracy vs
+# true cos is irrelevant — it defines this engine's tile→lon mapping.
+LON_SCALE_C2 = 1.523e-4
+
+
+def lon_scale(lat_deg: float) -> float:
+    return 1.0 - LON_SCALE_C2 * lat_deg * lat_deg
 DEFAULT_CELL_RES = 14
 N_SALT = 8
 
@@ -126,7 +135,7 @@ def tile_center_lonlat(
     (lon0, lat0) anchor the image's top-left pixel; y grows southward.
     The same arithmetic is emitted to SQL for the assignment oracle."""
     lat = lat0 - (cy_px * yres_m) / M_PER_DEG_LAT
-    lon = lon0 + (cx_px * xres_m) / (M_PER_DEG_LON_EQ * math.cos(math.radians(lat0)))
+    lon = lon0 + (cx_px * xres_m) / (M_PER_DEG_LON_EQ * lon_scale(lat0))
     return lon, lat
 
 
@@ -332,7 +341,8 @@ def tile_assignments(images: DataFrame, tile_px: int, cell_res: int = DEFAULT_CE
     cy = F.col("tile_row") * tile_px + core_h / 2.0
     cx = F.col("tile_col") * tile_px + core_w / 2.0
     lat_c = F.col("lat0") - (cy * F.col("yres_m")) / M_PER_DEG_LAT
-    lon_c = F.col("lon0") + (cx * F.col("xres_m")) / (M_PER_DEG_LON_EQ * F.cos(F.radians(F.col("lat0"))))
+    scale = F.lit(1.0) - F.lit(LON_SCALE_C2) * F.col("lat0") * F.col("lat0")
+    lon_c = F.col("lon0") + (cx * F.col("xres_m")) / (M_PER_DEG_LON_EQ * scale)
     return df.select(
         "image_id",
         "tile_row",

@@ -169,8 +169,8 @@ def footprint_table(n_rows: int, seed: int = 43) -> pd.DataFrame:
         cx = _ANCHOR_LON + float(rng.uniform(-2.0, 2.0))
         cy = _ANCHOR_LAT + float(rng.uniform(-2.0, 2.0))
         if rng.random() < 0.6:  # rectangle
-            hw = float(rng.uniform(0.005, 0.2))
-            hh = float(rng.uniform(0.005, 0.2))
+            hw = float(rng.uniform(0.02, 0.5))
+            hh = float(rng.uniform(0.02, 0.5))
             xs = [cx - hw, cx + hw, cx + hw, cx - hw]
             ys = [cy - hh, cy - hh, cy + hh, cy + hh]
             kind = "rect"

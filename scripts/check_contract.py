@@ -1,0 +1,96 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf dir, run the matching oracle_sql() in DuckDB over the
+same parquet views, compare row count + column names + order-insensitive
+values (floats rounded to 9 places before hashing to dodge 1-ulp noise the
+driver may or may not tolerate — mismatches beyond that are real).
+
+Usage: python scripts/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+    return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from dsm2dtm_spark.session import get_spark
+
+    spark = get_spark("contract-check", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            a, b = canon(sdf), canon(odf)
+            if a != b:
+                diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+                ex = "; ".join(f"{a[i]} vs {b[i]}" for i in diff)
+                problems.append(f"values differ at {len([1 for x, y in zip(a,b) if x!=y])} rows, e.g. {ex[:300]}")
+        if problems:
+            print(f"FAIL  {name}: {' | '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,8 @@ class TestJaccard:
 
 class TestMinhashLSH:
     def test_finds_dups_and_near_dups(self, spark, docs_df):
-        out = D.minhash_near_dups(docs_df, threshold=0.7).collect()
+        # bands=8/rows=4: catch probability for j≈0.78 is 1-(1-0.78^4)^8 ≈ 0.97
+        out = D.minhash_near_dups(docs_df, threshold=0.7, bands=8).collect()
         pairs = {(r.left_id, r.right_id) for r in out}
         assert (1, 2) in pairs
         assert (1, 3) in pairs or (2, 3) in pairs
