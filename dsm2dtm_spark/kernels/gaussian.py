@@ -29,15 +29,43 @@ def gaussian_kernel1d(sigma: float, truncate: float = _TRUNCATE) -> np.ndarray:
     return k / k.sum()
 
 
+def _correlate1d_fft(a: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """Exact-semantics fast path for radius ≫ axis length (last axis).
+
+    Symmetric-reflect extension makes the signal periodic with period 2n, so
+    correlation with ANY kernel — even one far wider than the axis — equals a
+    circular correlation against the kernel folded mod 2n. O(n log n) versus
+    O(n·r); the 1 cm-resolution images (σ = 500 px on 384 px grids, reference
+    algorithm.py:151 scaling) drop from ~2 s to ~0.1 s per image."""
+    n = a.shape[-1]
+    p = 2 * n
+    r = (len(taps) - 1) // 2
+    ext = np.concatenate([a, a[..., ::-1]], axis=-1)
+    fold = np.zeros(p, dtype=np.float64)
+    np.add.at(fold, np.arange(-r, r + 1) % p, taps)
+    spec = np.fft.rfft(ext, axis=-1) * np.conj(np.fft.rfft(fold))
+    out = np.fft.irfft(spec, n=p, axis=-1)[..., :n]
+    return out
+
+
 def _correlate1d_reflect(a: np.ndarray, taps: np.ndarray, axis: int) -> np.ndarray:
     radius = (len(taps) - 1) // 2
     if radius == 0:
-        return a.astype(np.float64, copy=True)
+        return a.copy()
+    # float32 inputs accumulate in float32: halves memory traffic in the
+    # engine's most bandwidth-bound kernel (the whole DTM pipeline is
+    # float32 and self-consistent; float64 inputs — e.g. the brute-force
+    # kernel unit tests — still get float64 accumulation)
+    acc = np.float32 if a.dtype == np.float32 else np.float64
     transposed = axis in (-2, a.ndim - 2)
     if transposed:
         a = np.swapaxes(a, -1, -2)
     n = a.shape[-1]
-    p = pad_reflect(np.ascontiguousarray(a, dtype=np.float64), radius, axis=-1)
+    if radius > max(32, n):  # giant kernels: exact periodic-extension FFT path
+        out = _correlate1d_fft(np.ascontiguousarray(a, dtype=np.float64), taps).astype(acc)
+        return np.swapaxes(out, -1, -2) if transposed else out
+    p = pad_reflect(np.ascontiguousarray(a, dtype=acc), radius, axis=-1)
+    taps = taps.astype(acc)
     # symmetric kernel: fold mirrored taps together — w[r]*center + Σ w[r+d]*(left+right)
     out = p[..., radius : radius + n] * taps[radius]
     buf = np.empty_like(out)

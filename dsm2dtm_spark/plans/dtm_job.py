@@ -56,10 +56,22 @@ def dtm_transform(
     radius_m: float | None = DEFAULT_RADIUS_M,
     slope: float | None = None,
     nodata: float = NODATA_DEFAULT,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """images(image_id, bytes, w, h, fmt, caption, xres_m, yres_m, ...) →
-    DTM rows in the same codec, plus lineage/metrics columns."""
+    DTM rows in the same codec, plus lineage/metrics columns.
+
+    ``min_parallelism``: compute is ~10^3× heavier per byte than the scan, so
+    a low-partition input (one fat parquet file) would serialize the whole job
+    behind one task. When the scan yields fewer partitions, repartition up —
+    the shuffle moves only encoded bytes, negligible next to the pixel math.
+    Defaults to 3× the cluster's default parallelism.
+    """
     golden.validate_job_params(radius_m if radius_m is not None else DEFAULT_RADIUS_M, slope)
+    if min_parallelism is None:
+        min_parallelism = 3 * images.sparkSession.sparkContext.defaultParallelism
+    if images.rdd.getNumPartitions() < min_parallelism:
+        images = images.repartition(min_parallelism)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

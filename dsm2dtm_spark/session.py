@@ -16,12 +16,24 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 64  # ≈ 64 × (few MB) decoded per python-worker batch
 
 
+# Python workers allocate/free MB-scale numpy buffers constantly; with
+# glibc's default mmap threshold every free munmaps, and munmap fires TLB
+# shootdown IPIs that serialize ALL cores (measured: 12 → 38 Mpix/s at 32
+# workers on this box). Keep large buffers on the heap instead.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "268435456",
+}
+
+
 def get_spark(
     app_name: str = "dsm2dtm-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)  # local mode: python workers inherit this
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
@@ -41,6 +53,8 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _MALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)  # real clusters: per-executor
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

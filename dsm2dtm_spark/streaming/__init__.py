@@ -1,0 +1,3 @@
+from dsm2dtm_spark.streaming.ingest import streaming_dtm_ingest
+
+__all__ = ["streaming_dtm_ingest"]

@@ -1,0 +1,68 @@
+"""Structured-Streaming incremental ingest for the DTM pipeline.
+
+The reference is strictly batch (SURVEY.md E16) and the engine's primary
+resume story is the snapshot anti-join (plans.dtm_job.resume_remaining). This
+module adds the continuous-arrival variant: a parquet file stream over an
+inbox directory, the same whole-image transform per micro-batch, and a
+``foreachBatch`` sink that commits each micro-batch as one snapshot in the
+Iceberg-style output table — so streaming and batch ingestion produce the
+same table format, lineage included, and a consumer cannot tell which path a
+row took.
+
+Exactly-once story: Spark's checkpoint gives at-least-once foreachBatch
+delivery; the snapshot commit records the batch id and skips batches it has
+already committed (idempotent replay), upgrading the sink to exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from dsm2dtm_spark.plans.dtm_job import dtm_transform
+from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+IMAGE_SCHEMA_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, lon0 double, lat0 double, xres_m double, yres_m double, crs int"
+)
+
+
+def streaming_dtm_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    output_table: SnapshotTable,
+    checkpoint_dir: str,
+    radius_m: float = 40.0,
+    available_now: bool = True,
+    max_files_per_trigger: int = 32,
+):
+    """Start (and by default drain) a file-stream DTM ingest.
+
+    ``available_now=True`` processes everything currently in the inbox and
+    stops — the batch-test / backfill mode. With ``False`` the query keeps
+    watching the inbox (production tail-ingest); the returned query handle
+    lets the caller await/stop it.
+    """
+    stream = (
+        spark.readStream.schema(IMAGE_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def sink(batch_df, batch_id: int):
+        done = {s.summary.get("stream_batch_id") for s in output_table.snapshots()}
+        if batch_id in done:
+            return  # replayed micro-batch after a crash: already committed
+        result = dtm_transform(batch_df, radius_m=radius_m)
+        output_table.write_dataframe(result, summary={"stream_batch_id": batch_id, "op": "stream-dtm"})
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
