@@ -336,6 +336,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_topk_cosine"] = emb_topk_cosine
 
+    def emb_highsim_pairs(spark, sf):
+        # embedding-cosine near-dup pairs (threshold tuned to the corpus —
+        # testdata embeddings have no true dups, max off-diag cosine ≈ 0.51)
+        e = _t(spark, sf, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        a = e.select(F.col("vec_id").alias("left_id"), v.alias("lv"))
+        b = e.select(F.col("vec_id").alias("right_id"), v.alias("rv"))
+        dot = F.aggregate(F.zip_with("lv", "rv", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
+        nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, z: acc + z))
+        pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
+        cos = F.round(dot / (nrm(F.col("lv")) * nrm(F.col("rv"))), 4)
+        return pairs.select("left_id", "right_id", cos.alias("cosine")).filter(F.col("cosine") >= 0.45)
+
+    q["emb_highsim_pairs"] = emb_highsim_pairs
+
+    def emb_ivf_topk(spark, sf):  # rows-only: approximate by design
+        from dsm2dtm_spark.operators.simsearch import ivf_topk
+
+        e = _t(spark, sf, "embeddings")
+        dim = len(e.select("embedding").first()[0])
+        queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
+        return ivf_topk(e, queries_df, k=5, dim=dim)
+
+    q["emb_ivf_topk"] = emb_ivf_topk
+
     def emb_lsh_topk(spark, sf):  # rows-only: approximate by design
         from dsm2dtm_spark.operators.simsearch import lsh_topk
 
@@ -623,6 +648,16 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """
+
+    o["emb_highsim_pairs"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
     """
 
     img = f"read_parquet('{_IMAGES_PQ}')"

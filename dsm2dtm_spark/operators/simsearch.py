@@ -13,7 +13,9 @@ via n_planes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _dot(a, b):
@@ -67,6 +69,78 @@ def srp_bucket_expr(vec_col: str, planes: np.ndarray):
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def make_centroids(dim: int, n_centroids: int = 16, seed: int = 13) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (IVF without the
+    training pass: seeded random directions; at real scale these would come
+    from a sampled k-means job, which is a drop-in replacement)."""
+    c = np.random.default_rng(seed).normal(size=(n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _argmax_centroid(vec_col: str, centroids: np.ndarray):
+    """Column: index of the max-dot-product centroid (JVM-side).
+
+    Built as array_position(dots, array_max(dots)) — a chained when() would
+    double the expression tree per centroid (2^k nodes) and OOM the driver."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every corpus vector to its nearest
+    coarse centroid (inverted lists = partition key), probe the ``nprobe``
+    nearest lists per query, rank candidates exactly.
+
+    Scale shape: the corpus is scanned once to build list assignments (a
+    column, persistable/partitionable); queries explode to nprobe rows and
+    the candidate join is a plain equi-join on the list id — never O(n·q).
+    """
+    cents = make_centroids(dim, n_centroids)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _argmax_centroid(vec_col, cents).alias("list_id"),
+    )
+
+    def probe_lists_udf():
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probes(vecs: pd.Series) -> pd.Series:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return probes
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+        F.explode(probe_lists_udf()(F.col(query_vec_col))).alias("list_id"),
+    )
+    pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = with_cosine(pairs, "qvec", "cvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_topk(

@@ -103,32 +103,52 @@ class SnapshotTable:
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """DataFrame over the committed file set (time travel via snapshot_id).
         Plain parquet scan → Catalyst predicate pushdown / column pruning
-        apply untouched."""
+        apply untouched; hive-style partition directories (from a
+        ``partition_by`` write) keep partition-pruning via basePath."""
         if snapshot_id is None:
             snap = self.current_snapshot()
         else:
             snap = next((s for s in self.snapshots() if s.snapshot_id == snapshot_id), None)
         if snap is None or not snap.files:
             raise ValueError(f"table {self.root} has no committed data (snapshot_id={snapshot_id})")
-        return spark.read.parquet(*[os.path.join(self.data_dir, f) for f in snap.files])
+        paths = [os.path.join(self.data_dir, f) for f in snap.files]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
-    def write_dataframe(self, df: DataFrame, operation: str = "append", summary: dict | None = None) -> Snapshot:
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        summary: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
         """Write ``df`` as new immutable data files + commit one snapshot.
 
         Spark writes to a scratch dir; the part files are moved into data/
         under fresh UUID names before the snapshot references them, so a
         crashed job never leaves half-visible data (files without a snapshot
-        are invisible garbage, collectable later).
+        are invisible garbage, collectable later). With ``partition_by`` the
+        hive-style ``col=value`` directory layout is preserved, making the
+        partition column prunable at scan time (Iceberg-style data layout).
         """
         scratch = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         try:
-            df.write.mode("overwrite").parquet(scratch)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(scratch)
             new_files = []
-            for fn in sorted(os.listdir(scratch)):
-                if fn.endswith(".parquet"):
-                    tgt = f"{uuid.uuid4().hex}.parquet"
-                    shutil.move(os.path.join(scratch, fn), os.path.join(self.data_dir, tgt))
-                    new_files.append(tgt)
+            for dirpath, _, fns in os.walk(scratch):
+                rel_dir = os.path.relpath(dirpath, scratch)
+                for fn in sorted(fns):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    if rel_dir == ".":
+                        rel = f"{uuid.uuid4().hex}.parquet"
+                    else:
+                        rel = os.path.join(rel_dir, f"{uuid.uuid4().hex}.parquet")
+                        os.makedirs(os.path.join(self.data_dir, rel_dir), exist_ok=True)
+                    shutil.move(os.path.join(dirpath, fn), os.path.join(self.data_dir, rel))
+                    new_files.append(rel)
             return self.commit(new_files, operation, summary)
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

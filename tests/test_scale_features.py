@@ -1,0 +1,92 @@
+"""Scale-feature tests: partitioned snapshot layout with partition pruning,
+hot-cell skew mitigation via salting, IVF similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dsm2dtm_spark import synth
+from dsm2dtm_spark.operators import simsearch as S
+from dsm2dtm_spark.operators import tiling
+from dsm2dtm_spark.sources import SnapshotTable
+
+
+class TestPartitionedSnapshot:
+    def test_partitioned_write_read_roundtrip(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "pt"))
+        pdf = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": ["a", "b", "c", "d", "e"]})
+        t.write_dataframe(spark.createDataFrame(pdf), partition_by=["k"])
+        back = t.read(spark)
+        assert back.count() == 5
+        assert set(back.columns) == {"k", "v"}  # partition column restored via basePath
+        assert {(r.k, r.v) for r in back.collect()} == set(map(tuple, pdf.itertuples(index=False)))
+
+    def test_partition_pruning_in_plan(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "pt2"))
+        pdf = pd.DataFrame({"cell_id": [10] * 50 + [20] * 50, "v": range(100)})
+        t.write_dataframe(spark.createDataFrame(pdf), partition_by=["cell_id"])
+        df = t.read(spark).filter(F.col("cell_id") == 10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cell_id" in plan.split("PartitionFilters")[1][:120]
+        assert df.count() == 50
+
+    def test_append_preserves_partitions(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "pt3"))
+        t.write_dataframe(spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]})), partition_by=["k"])
+        t.write_dataframe(spark.createDataFrame(pd.DataFrame({"k": [2], "v": [2]})), partition_by=["k"])
+        assert t.read(spark).count() == 2
+        assert {r.k for r in t.read(spark).collect()} == {1, 2}
+
+
+class TestSkewSalting:
+    def test_salt_bounds_hot_cell_partition(self, spark):
+        """80% of images anchored in one tiny neighborhood (FIXTURES hot-cell
+        tier) → without salt, one shuffle partition holds most tiles; the
+        (cell_id, salt) key bounds the max partition to ~1/N_SALT of the hot
+        cell."""
+        pdf = synth.image_table(40, seed=3, sizes=(64,), fmts=("raw_f32",), hot_cell_fraction=0.8)
+        pdf = pdf[pdf.xres_m >= 0.45].drop(columns=["scenario"])  # tiled plan: standard-path rows only
+        sdf = spark.createDataFrame(pdf)
+        stats = tiling.image_stats(sdf, 15.0, 0.1)
+        tiles = tiling.emit_tiles(sdf.join(stats.select("image_id", "halo_px"), on="image_id"), tile_px=64)
+
+        def max_partition_frac(df):
+            counts = (
+                df.groupBy(F.spark_partition_id().alias("pid")).count().agg(F.max("count"), F.sum("count")).collect()[0]
+            )
+            return counts[0] / counts[1]
+
+        unsalted = tiles.repartition(16, F.col("cell_id"))
+        salted = tiles.repartition(16, F.col("cell_id"), F.col("salt"))
+        hot_frac = max_partition_frac(unsalted)
+        salt_frac = max_partition_frac(salted)
+        assert hot_frac > 0.5  # the skew is real
+        assert salt_frac < hot_frac / 2  # and salting breaks it
+
+
+class TestIVF:
+    def test_ivf_finds_planted_neighbor(self, spark):
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(60, 8)).astype(np.float32)
+        base[7] = base[3] + rng.normal(0, 0.01, 8).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in base]})
+        sdf = spark.createDataFrame(pdf)
+        queries = sdf.filter("vec_id = 3").selectExpr("vec_id as query_id", "embedding")
+        got = S.ivf_topk(sdf, queries, k=3, dim=8, n_centroids=8, nprobe=3).collect()
+        assert 7 in {r.neighbor_id for r in got}
+
+    def test_ivf_recall_vs_exact(self, spark):
+        rng = np.random.default_rng(12)
+        base = rng.normal(size=(80, 8)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in base]})
+        sdf = spark.createDataFrame(pdf)
+        queries = sdf.filter("vec_id < 8").selectExpr("vec_id as query_id", "embedding")
+        exact = S.brute_force_topk(sdf, queries, k=5)
+        approx = S.ivf_topk(sdf, queries, k=5, dim=8, n_centroids=8, nprobe=4)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5  # nprobe=4/8 lists on random data
