@@ -244,6 +244,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_rank_by_type"] = events_user_rank_by_type
 
+    def events_json_props(spark, sf):
+        # JSON scalar functions (E14): parse the props payload, aggregate
+        ev = _t(spark, sf, "events")
+        k = F.from_json("props", "k int").getField("k")
+        return ev.groupBy("event_type").agg(
+            F.round(F.avg(k), 3).alias("avg_k"),
+            F.max(k).cast("long").alias("max_k"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+        )
+
+    q["events_json_props"] = events_json_props
+
     def exact_distinct_users(spark, sf):
         ev = _t(spark, sf, "events")
         return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
@@ -559,6 +571,15 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ROUND(SUM(value), 2) DESC, user_id ASC) AS rnk
             FROM events GROUP BY event_type, user_id
         ) WHERE rnk <= 5
+    """
+
+    o["events_json_props"] = """
+        SELECT event_type,
+               ROUND(AVG(k), 3) AS avg_k,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+        FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        GROUP BY event_type
     """
 
     o["exact_distinct_users"] = """
