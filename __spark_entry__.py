@@ -173,6 +173,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_lineitem_flags"] = rollup_lineitem_flags
 
+    def cube_images_fmt_scenario(spark, sf):
+        img = _images(spark)
+        return (
+            img.cube("fmt", "scenario")
+            .agg(F.count("*").alias("n"), F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"))
+            .select(
+                F.coalesce("fmt", F.lit("ALL")).alias("fmt"),
+                F.coalesce("scenario", F.lit("ALL")).alias("scenario"),
+                "n",
+                "pixels",
+            )
+        )
+
+    q["cube_images_fmt_scenario"] = cube_images_fmt_scenario
+
+    def intersect_active_buyers(spark, sf):
+        # custkeys present in BOTH halves of the order date range (E12)
+        o = _t(spark, sf, "orders")
+        med = "1998-01-01"
+        early = o.filter(F.col("o_orderdate") < med).select("o_custkey")
+        late = o.filter(F.col("o_orderdate") >= med).select("o_custkey")
+        return early.intersect(late).withColumnRenamed("o_custkey", "custkey")
+
+    q["intersect_active_buyers"] = intersect_active_buyers
+
     def anti_join_no_big_order(spark, sf):
         # customers with no order above 300k — resume-style left_anti (E12)
         c = _t(spark, sf, "customer")
@@ -515,6 +540,18 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["cube_images_fmt_scenario"] = f"""
+        SELECT COALESCE(fmt, 'ALL') AS fmt, COALESCE(scenario, 'ALL') AS scenario,
+               COUNT(*) AS n, CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS pixels
+        FROM read_parquet('{_IMAGES_PQ}') GROUP BY CUBE (fmt, scenario)
+    """
+
+    o["intersect_active_buyers"] = """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     """
 
     o["anti_join_no_big_order"] = """
