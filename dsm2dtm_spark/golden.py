@@ -13,8 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 from dsm2dtm_spark.kernels import (
-    edt_with_indices,
     fill_nearest,
+    nearest_valid,
     gaussian_filter2d,
     grey_opening_square,
     zoom_bilinear,
@@ -140,7 +140,7 @@ def gap_fill(ground: np.ndarray, nodata: float, max_dist_px: float) -> np.ndarra
     invalid = ground == nodata
     dtm = ground.astype(np.float32, copy=True)
     if invalid.any() and (~invalid).any():
-        dist2, nr, nc = edt_with_indices(invalid)
+        dist2, nr, nc = nearest_valid(invalid)
         in_range = invalid & (dist2 <= max_dist_px * max_dist_px)
         if in_range.any():
             dtm[in_range] = dtm[nr, nc][in_range]

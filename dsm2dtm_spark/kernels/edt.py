@@ -108,6 +108,69 @@ def edt_with_indices(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return dist2, nearest_row, nearest_col
 
 
+def nearest_valid_sparse(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Sparse-case exact nearest-valid search: when few cells are invalid,
+    search a growing (2R+1)² window around each invalid cell; a hit at
+    Euclidean distance d ≤ R is certified globally nearest (anything outside
+    the Chebyshev-R window is farther than R). O(K·R²) — on the common
+    "refinement punched a few holes" images this replaces an O(h·w)
+    full-image transform that dominated the 10k×10k wall time.
+
+    Returns (dist2, nearest_row, nearest_col) in the same contract as
+    ``edt_with_indices`` (valid cells map to themselves at 0), or None when
+    the full transform is the better tool (dense/deep invalid regions).
+    """
+    h, w = mask.shape
+    inv_r, inv_c = np.nonzero(mask)
+    k = len(inv_r)
+    if k == 0 or not (~mask).any():
+        return None
+
+    dist2 = np.zeros((h, w), dtype=np.float64)
+    rows = np.arange(h, dtype=np.int64)[:, None]
+    cols = np.arange(w, dtype=np.int64)[None, :]
+    nr = np.broadcast_to(rows, (h, w)).copy()
+    nc = np.broadcast_to(cols, (h, w)).copy()
+
+    qr, qc = inv_r, inv_c
+    radius = 2
+    while len(qr):
+        if len(qr) * (2 * radius + 1) ** 2 > 4 * h * w:
+            return None  # window search would cost more than the full EDT
+        d = np.arange(-radius, radius + 1, dtype=np.int64)
+        rr = np.clip(qr[:, None] + d[None, :], 0, h - 1)  # (k, 2R+1)
+        cc = np.clip(qc[:, None] + d[None, :], 0, w - 1)
+        # candidate block per query: (k, 2R+1, 2R+1)
+        cand_valid = ~mask[rr[:, :, None], cc[:, None, :]]
+        dr = rr - qr[:, None]
+        dc = cc - qc[:, None]
+        d2 = dr[:, :, None].astype(np.float64) ** 2 + dc[:, None, :].astype(np.float64) ** 2
+        d2[~cand_valid] = np.inf
+        flat = d2.reshape(len(qr), -1)
+        best = np.argmin(flat, axis=1)
+        bestd2 = flat[np.arange(len(qr)), best]
+        ok = bestd2 <= float(radius * radius)  # certified: nothing outside beats it
+        bi, bj = np.divmod(best[ok], 2 * radius + 1)
+        sel_r, sel_c = qr[ok], qc[ok]
+        dist2[sel_r, sel_c] = bestd2[ok]
+        nr[sel_r, sel_c] = rr[ok, bi]
+        nc[sel_r, sel_c] = cc[ok][np.arange(ok.sum()), bj]
+        qr, qc = qr[~ok], qc[~ok]
+        radius *= 2
+    return dist2, nr, nc
+
+
+def nearest_valid(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dispatcher: sparse windowed search when invalid cells are few/shallow,
+    full vectorized-FH transform otherwise. Identical contract either way."""
+    mask = np.asarray(mask, dtype=bool)
+    if mask.sum() * 25 <= mask.size:  # ≤4% invalid: try the sparse path first
+        out = nearest_valid_sparse(mask)
+        if out is not None:
+            return out
+    return edt_with_indices(mask)
+
+
 def fill_nearest(values: np.ndarray, invalid_mask: np.ndarray) -> np.ndarray:
     """Replace invalid cells with the value of their nearest valid cell.
 
@@ -116,5 +179,5 @@ def fill_nearest(values: np.ndarray, invalid_mask: np.ndarray) -> np.ndarray:
     """
     if not invalid_mask.any():
         return values.copy()
-    _, nr, nc = edt_with_indices(invalid_mask)
+    _, nr, nc = nearest_valid(invalid_mask)
     return values[nr, nc]

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from dsm2dtm_spark.kernels.edt import edt_with_indices
+from dsm2dtm_spark.kernels.edt import nearest_valid
 
 
 class Affine:
@@ -76,7 +76,7 @@ def warp_bilinear(
     if invalid.all():
         return np.full(dst_shape, nodata, dtype=src.dtype)
     if invalid.any():
-        _, nr, nc = edt_with_indices(invalid)
+        _, nr, nc = nearest_valid(invalid)
         filled = src[nr, nc]
     else:
         filled = src

@@ -175,6 +175,27 @@ class TestEDT:
         with pytest.raises(ValueError):
             edt_with_indices(np.ones((3, 3), dtype=bool))
 
+    @pytest.mark.parametrize("density", [0.001, 0.01, 0.03, 0.3, 0.7])
+    def test_sparse_dispatcher_matches_full_transform(self, density):
+        from dsm2dtm_spark.kernels import nearest_valid
+
+        rng = np.random.default_rng(int(density * 1000))
+        mask = rng.random((40, 55)) < density
+        mask[0, 0] = False
+        d_full, _, _ = edt_with_indices(mask)
+        d_disp, nr, nc = nearest_valid(mask)
+        np.testing.assert_allclose(d_disp, d_full, atol=1e-9)
+        assert (~mask[nr, nc]).all()  # reported sites are valid cells
+
+    def test_sparse_path_deep_blob_falls_back_correctly(self):
+        from dsm2dtm_spark.kernels import nearest_valid
+
+        mask = np.zeros((60, 60), dtype=bool)
+        mask[10:50, 10:50] = True  # 44% invalid, deep blob
+        d_full, _, _ = edt_with_indices(mask)
+        d_disp, _, _ = nearest_valid(mask)
+        np.testing.assert_allclose(d_disp, d_full, atol=1e-9)
+
 
 class TestZoom:
     def _brute(self, a, zf):
