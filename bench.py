@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench")
 BENCH_IMAGES = os.path.join(BENCH_DIR, "images.parquet")
+BENCH_BIG_IMAGES = os.path.join(BENCH_DIR, "big_images.parquet")
 TILE = 128
 
 
@@ -38,6 +39,30 @@ def ensure_bench_images() -> None:
     pdf = synth.image_table(n_rows=160, seed=1234, sizes=(128, 192, 256, 384), dup_fraction=0.02)
     # small row groups keep the single file splittable across input tasks
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), BENCH_IMAGES, row_group_size=4)
+    # tiled-path phase: 4 big rasters (2048², res 2 m) that tile genuinely
+    import numpy as np
+
+    from dsm2dtm_spark import codecs
+
+    rng = np.random.default_rng(4321)
+    rows = []
+    n = 2048
+    for i in range(4):
+        yy, xx = np.mgrid[0:n, 0:n]
+        g = (100.0 + 0.02 * yy + 0.01 * xx + rng.normal(0, 0.2, (n, n))).astype(np.float32)
+        for _ in range(6):
+            y, x, s = rng.integers(0, n - 200), rng.integers(0, n - 200), int(rng.integers(40, 180))
+            g[y : y + s, x : x + s] += float(rng.uniform(6, 18))
+        rows.append(
+            {
+                "image_id": f"big_{i:02d}", "bytes": codecs.encode_raw_f32(g), "w": n, "h": n,
+                "fmt": "raw_f32", "caption": f"bench big {i}", "phash": codecs.ahash64(g),
+                "lon0": 2.0 + i * 0.5, "lat0": 36.0, "xres_m": 2.0, "yres_m": 2.0, "crs": 32631,
+            }
+        )
+    import pandas as pd
+
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), BENCH_BIG_IMAGES, row_group_size=1)
 
 
 def run_dtm_phase(spark) -> dict:
@@ -61,6 +86,23 @@ def run_dtm_phase(spark) -> dict:
         "tiles_per_sec": round(agg.tiles / wall, 2),
         "mpix_per_sec": round(agg.pixels / wall / 1e6, 3),
     }
+
+
+def run_tiled_phase(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
+
+    images = spark.read.parquet(BENCH_BIG_IMAGES)
+    t0 = time.time()
+    out = tiled_dtm_transform(images, tile_px=512, radius_m=15.0)
+    agg = out.agg(
+        F.count("*").alias("n"), F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels")
+    ).collect()[0]
+    wall = time.time() - t0
+    tiles = agg.n * (2048 // 512) ** 2
+    return {"sec": round(wall, 2), "tiles": tiles, "tiles_per_sec": round(tiles / wall, 2),
+            "mpix_per_sec": round(agg.pixels / wall / 1e6, 3)}
 
 
 def relational_queries(sf_dir: str):
@@ -98,6 +140,8 @@ def main():
     timings: dict[str, float] = {}
     dtm = run_dtm_phase(spark)
     timings["dtm_pipeline"] = dtm["sec"]
+    tiled = run_tiled_phase(spark)
+    timings["tiled_pipeline"] = tiled["sec"]
 
     for name, fn in relational_queries(sf_dir).items():
         t0 = time.time()
@@ -119,6 +163,8 @@ def main():
                 "dtm_tiles": dtm["tiles"],
                 "dtm_tiles_per_sec": dtm["tiles_per_sec"],
                 "dtm_mpix_per_sec": dtm["mpix_per_sec"],
+                "tiled_tiles_per_sec": tiled["tiles_per_sec"],
+                "tiled_mpix_per_sec": tiled["mpix_per_sec"],
             }
         )
     )
