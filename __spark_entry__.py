@@ -16,10 +16,15 @@ via ``read_parquet``.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:  # robust to being imported from any cwd
+    sys.path.insert(0, _HERE)
 
 from dsm2dtm_spark.functions.text import STOPWORDS
 from dsm2dtm_spark.operators.cellindex import cell_encode_sql, cell_expr
@@ -49,12 +54,39 @@ def _ensure_contract_tables() -> None:
     pq.write_table(pa.Table.from_pandas(synth.knn_query_table(40, seed=44), preserve_index=False), _KNN_PQ)
 
 
+def _ship_engine(spark: SparkSession) -> None:
+    """Make dsm2dtm_spark importable on executors no matter where the driver
+    process was started: zip the package once and addPyFile it (idempotent
+    per session). Local-mode workers inherit neither the driver's sys.path
+    nor its cwd, so a driver launched outside /root/repo would otherwise fail
+    inside every pandas UDF."""
+    if getattr(spark, "_dsm2dtm_shipped", False):
+        return
+    import zipfile
+
+    zpath = os.path.join(_CONTRACT_DIR, "engine.zip")
+    if not os.path.exists(zpath):
+        os.makedirs(_CONTRACT_DIR, exist_ok=True)
+        pkg = os.path.join(_HERE, "dsm2dtm_spark")
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            for root, _, fns in os.walk(pkg):
+                for fn in fns:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, _HERE))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._dsm2dtm_shipped = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_engine(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _images(spark: SparkSession) -> DataFrame:
     _ensure_contract_tables()
+    _ship_engine(spark)
     return spark.read.parquet(_IMAGES_PQ)
 
 
@@ -68,6 +100,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from dsm2dtm_spark.plans import dtm_transform
 
     _ensure_contract_tables()
+    _ship_engine(spark)
     images = spark.read.parquet(_IMAGES_PQ).limit(12)
     dtm = dtm_transform(images, radius_m=40.0)
     out = dtm.select("image_id", "fmt", "w", "h", "valid_in", "valid_out", "partition_id")
