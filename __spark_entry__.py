@@ -361,20 +361,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_fingerprints"] = docs_fingerprints
 
     def docs_jaccard_consecutive(spark, sf):
-        from dsm2dtm_spark.operators.dedup import ngram_jaccard
+        from dsm2dtm_spark.operators.dedup import shingle_expr
 
-        d = _t(spark, sf, "documents")
-        left = d.selectExpr("doc_id AS left_id", "text AS left_text")
-        right = d.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "text AS right_text")
+        # shingle each doc ONCE, then join pairs on the precomputed arrays
+        d = _t(spark, sf, "documents").repartition(32)  # single-file input: spread the shingle work
+        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams"))
+        left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
+        right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
         pairs = left.join(right, on="left_id")
-        return ngram_jaccard(pairs, "left_text", "right_text").select("left_id", "right_id", "jaccard")
+        jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)
+        return pairs.select("left_id", "right_id", jac.alias("jaccard"))
 
     q["docs_jaccard_consecutive"] = docs_jaccard_consecutive
 
     def docs_minhash_near_dups(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import minhash_near_dups
 
-        d = _t(spark, sf, "documents")
+        d = _t(spark, sf, "documents").repartition(32)
         return minhash_near_dups(d, threshold=0.6)
 
     q["docs_minhash_near_dups"] = docs_minhash_near_dups
@@ -382,7 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_simhash(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import simhash64
 
-        d = _t(spark, sf, "documents")
+        d = _t(spark, sf, "documents").repartition(32)
         return simhash64(d)
 
     q["docs_simhash"] = docs_simhash
