@@ -176,7 +176,9 @@ def knn_join(
         settled_parts.append(
             cand.join(certified, on="query_id", how="inner").select("query_id", "point_id", "dist", "rank")
         )
-        remaining = remaining.join(certified, on="query_id", how="left_anti")
+        # truncate lineage: without this every round re-executes all prior
+        # rounds' joins through the growing anti-join chain
+        remaining = remaining.join(certified, on="query_id", how="left_anti").localCheckpoint(eager=True)
         radius *= 2
 
     leftovers = remaining.crossJoin(pts).withColumn(

@@ -153,6 +153,31 @@ class SnapshotTable:
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Table maintenance (Iceberg-style): drop all but the newest
+        ``keep_last`` snapshot manifests, then delete data files no surviving
+        snapshot references (orphans from crashed writes included). Returns
+        the deleted data-file names. CURRENT is never expired."""
+        snaps = self.snapshots()
+        if not snaps:
+            return []
+        cur = self.current_snapshot()
+        keep_ids = {s.snapshot_id for s in snaps[-keep_last:]} | {cur.snapshot_id}
+        referenced: set[str] = set()
+        for s in snaps:
+            if s.snapshot_id in keep_ids:
+                referenced.update(s.files)
+            else:
+                os.remove(os.path.join(self.meta_dir, f"snapshot-{s.snapshot_id:06d}.json"))
+        deleted = []
+        for dirpath, _, fns in os.walk(self.data_dir):
+            for fn in fns:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.data_dir)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(dirpath, fn))
+                    deleted.append(rel)
+        return deleted
+
     def write_pandas(self, pdf, operation: str = "append", summary: dict | None = None) -> Snapshot:
         """Commit a pandas DataFrame as one data file (generator convenience)."""
         import pyarrow as pa
