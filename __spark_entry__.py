@@ -302,6 +302,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_rank_by_type"] = events_user_rank_by_type
 
+    def events_value_quantiles(spark, sf):
+        # exact percentiles (interpolating, matches DuckDB quantile_cont)
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+
+    q["events_value_quantiles"] = events_value_quantiles
+
+    def orders_per_month(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")).agg(
+            F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("volume")
+        )
+
+    q["orders_per_month"] = orders_per_month
+
+    def customer_string_functions(spark, sf):
+        c = _t(spark, sf, "customer")
+        return c.select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+            F.length("c_name").cast("long").alias("name_len"),
+        )
+
+    q["customer_string_functions"] = customer_string_functions
+
     def events_json_props(spark, sf):
         # JSON scalar functions (E14): parse the props payload, aggregate
         ev = _t(spark, sf, "events")
@@ -644,6 +675,29 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ROUND(SUM(value), 2) DESC, user_id ASC) AS rnk
             FROM events GROUP BY event_type, user_id
         ) WHERE rnk <= 5
+    """
+
+    o["events_value_quantiles"] = """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """
+
+    o["orders_per_month"] = """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS volume
+        FROM orders GROUP BY 1
+    """
+
+    o["customer_string_functions"] = """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               substr(c_name, 1, 8) AS name_prefix,
+               concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+               CAST(length(c_name) AS BIGINT) AS name_len
+        FROM customer
     """
 
     o["events_json_props"] = """
