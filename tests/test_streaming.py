@@ -49,3 +49,27 @@ def test_new_files_processed_incrementally(spark, tmp_path, inbox):
     # draining again with nothing new commits nothing
     streaming_dtm_ingest(spark, str(d), out, ck, available_now=True)
     assert out.read(spark).count() == 14
+
+
+class TestStatefulDedup:
+    def test_first_occurrence_per_phash_across_batches(self, spark, tmp_path):
+        import pandas as pd
+        from dsm2dtm_spark.streaming.dedup_state import streaming_phash_dedup
+
+        d = tmp_path / "inbox2"
+        d.mkdir()
+        pdf = synth.image_table(12, seed=33, sizes=(50,), dup_fraction=0.0).drop(columns=["scenario"])
+        # plant duplicates: rows 6..11 reuse the phash of rows 0..5
+        pdf.loc[6:, "phash"] = pdf.phash.iloc[:6].to_numpy()
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[:6], preserve_index=False), str(d / "a.parquet"))
+        ck = str(tmp_path / "ck2")
+        outd = str(tmp_path / "dedup_out")
+        out1 = streaming_phash_dedup(spark, str(d), ck, outd).collect()
+        n_distinct = pdf.iloc[:6].phash.nunique()  # scenes may collide naturally
+        assert len(out1) == n_distinct
+        assert len({r.phash for r in out1}) == n_distinct
+        # second batch: all planted duplicates -> nothing new emitted
+        # (per-phash state persisted through the checkpoint)
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[6:], preserve_index=False), str(d / "b.parquet"))
+        out2 = streaming_phash_dedup(spark, str(d), ck, outd).collect()
+        assert {r.image_id for r in out2} == {r.image_id for r in out1}
