@@ -147,6 +147,62 @@ def gap_fill(ground: np.ndarray, nodata: float, max_dist_px: float) -> np.ndarra
     return dtm
 
 
+def gap_fill_idw(ground: np.ndarray, nodata: float, max_dist_px: float, k: int = 4) -> np.ndarray:
+    """Engine extension (north_star names IDW inpainting alongside NN): fill
+    holes within range with the inverse-distance-squared weighted mean of the
+    k nearest valid cells found in a certified growing window. NOT used on
+    the reference-parity path (the reference gathers the single nearest
+    value); opt-in via the pipeline's ``inpaint='idw'``."""
+    invalid = ground == nodata
+    dtm = ground.astype(np.float32, copy=True)
+    if not invalid.any() or not (~invalid).any():
+        return dtm
+    h, w = ground.shape
+    # 1-NN prefilter (fast either way): only holes within range get IDW work
+    dist2_nn, _, _ = nearest_valid(invalid)
+    in_range = invalid & (dist2_nn <= max_dist_px * max_dist_px)
+    qr, qc = np.nonzero(in_range)
+    if len(qr) == 0:
+        return dtm
+    vals = np.zeros(len(qr), dtype=np.float64)
+    pending = np.ones(len(qr), dtype=bool)
+    radius = max(2, int(np.ceil(max_dist_px)))
+    while pending.any():
+        idx = np.nonzero(pending)[0]
+        d = np.arange(-radius, radius + 1)
+        rr = np.clip(qr[idx][:, None] + d[None, :], 0, h - 1)
+        cc = np.clip(qc[idx][:, None] + d[None, :], 0, w - 1)
+        ok_v = ~invalid[rr[:, :, None], cc[:, None, :]]
+        d2 = (rr - qr[idx][:, None])[:, :, None].astype(np.float64) ** 2 + (cc - qc[idx][:, None])[
+            :, None, :
+        ].astype(np.float64) ** 2
+        d2[~ok_v] = np.inf
+        flat = d2.reshape(len(idx), -1)
+        order = np.argsort(flat, axis=1)[:, :k]
+        kd2 = np.take_along_axis(flat, order, axis=1)
+        n_found = np.isfinite(kd2).sum(axis=1)
+        kth = np.where(n_found > 0, kd2[np.arange(len(idx)), np.maximum(n_found - 1, 0)], np.inf)
+        # certified: the farthest used neighbor lies within the window's
+        # guarantee radius (nothing outside can displace it), or the window
+        # already spans the whole grid
+        whole = radius >= max(h, w)
+        certified = (n_found > 0) & ((kth <= radius * radius) | whole)
+        if certified.any():
+            ci = idx[certified]
+            sel = order[certified]
+            sd2 = kd2[certified]
+            arang = np.arange(len(ci))[:, None]
+            vget = ground[
+                rr[certified][arang, sel // (2 * radius + 1)], cc[certified][arang, sel % (2 * radius + 1)]
+            ].astype(np.float64)
+            wgt = np.where(np.isfinite(sd2), 1.0 / np.maximum(sd2, 1e-12), 0.0)
+            vals[ci] = (vget * wgt).sum(axis=1) / np.maximum(wgt.sum(axis=1), 1e-300)
+            pending[ci] = False
+        radius *= 2
+    dtm[qr, qc] = vals.astype(np.float32)
+    return dtm
+
+
 def _standard_path(
     dsm: np.ndarray,
     cell_size: float,
@@ -155,6 +211,7 @@ def _standard_path(
     slope: float | None,
     init_threshold: float,
     max_threshold: float,
+    inpaint: str = "nearest",
 ) -> np.ndarray:
     """Full-resolution pipeline: slope → params → PMF → refine → smooth →
     gap fill (reference algorithm.py:349-445)."""
@@ -168,6 +225,8 @@ def _standard_path(
     ground = pmf(dsm, nodata, p.init_window, p.max_window, p.slope_px, init_threshold, max_threshold)
     ground = refine(ground, nodata, p.refine_sigma)
     ground = final_smooth(ground, nodata, p.final_sigma)
+    if inpaint == "idw":
+        return gap_fill_idw(ground, nodata, p.gap_dist_px)
     return gap_fill(ground, nodata, p.gap_dist_px)
 
 
@@ -225,16 +284,19 @@ def dsm_to_dtm(
     init_threshold: float = PMF_INIT_THRESHOLD,
     max_threshold: float = PMF_MAX_THRESHOLD,
     nodata: float = NODATA_DEFAULT,
+    inpaint: str = "nearest",
 ) -> np.ndarray:
     """DSM→DTM, array in / array out (reference algorithm.py:448-487).
 
     Routes to the coarse path when the collapsed cell size is finer than
     0.9 × 0.5 m, else runs the standard pipeline at native resolution.
+    ``inpaint='idw'`` swaps the reference's nearest-value gap fill for the
+    engine's IDW variant (engine extension; reference parity keeps 'nearest').
     """
     cell_size = max((abs(resolution[0]) + abs(resolution[1])) / 2.0, 0.001)
     if cell_size < MIN_PROCESS_RES_M * 0.9:
         return _coarse_path(dsm, cell_size, nodata, radius_m, slope, init_threshold, max_threshold)
-    return _standard_path(dsm, cell_size, nodata, radius_m, slope, init_threshold, max_threshold)
+    return _standard_path(dsm, cell_size, nodata, radius_m, slope, init_threshold, max_threshold, inpaint=inpaint)
 
 
 def validate_job_params(radius_m: float, slope: float | None) -> None:

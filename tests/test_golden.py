@@ -236,3 +236,30 @@ class TestUTM:
         assert golden.estimate_utm_epsg(-74.0, 40.7) == 32618  # NYC
         assert golden.estimate_utm_epsg(151.2, -33.8) == 32756  # Sydney (south)
         assert golden.estimate_utm_epsg(180.0, 0.0) == 32601  # wrap
+
+
+class TestIDWInpaint:
+    def test_idw_fills_in_range_holes_with_weighted_mean(self):
+        g = flat((30, 30))
+        g[10:12, 10:12] = NODATA
+        out = golden.gap_fill_idw(g, NODATA, max_dist_px=5, k=4)
+        assert (out != NODATA).all()
+        np.testing.assert_allclose(out[10:12, 10:12], 100.0, atol=1e-4)
+
+    def test_idw_respects_range_bound(self):
+        g = flat((40, 40))
+        g[5:35, 5:35] = NODATA
+        out = golden.gap_fill_idw(g, NODATA, max_dist_px=3, k=4)
+        assert out[20, 20] == NODATA  # deep interior stays flagged
+        assert out[6, 6] != NODATA
+
+    def test_pipeline_idw_option(self):
+        rng = np.random.default_rng(4)
+        dsm = flat((60, 60))
+        idx = rng.choice(dsm.size, 400, replace=False)
+        dsm.ravel()[idx] = NODATA
+        a = golden.dsm_to_dtm(dsm, (1.0, 1.0), nodata=NODATA)
+        b = golden.dsm_to_dtm(dsm, (1.0, 1.0), nodata=NODATA, inpaint="idw")
+        assert np.sum(b != NODATA) >= np.sum(a != NODATA) - 1
+        # IDW output interpolates (bounded by neighborhood range), NN copies
+        assert np.abs(b[b != NODATA] - 100.0).max() < 5.0
