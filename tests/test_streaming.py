@@ -73,3 +73,54 @@ class TestStatefulDedup:
         pq.write_table(pa.Table.from_pandas(pdf.iloc[6:], preserve_index=False), str(d / "b.parquet"))
         out2 = streaming_phash_dedup(spark, str(d), ck, outd).collect()
         assert {r.image_id for r in out2} == {r.image_id for r in out1}
+
+
+class TestWindowedWatermark:
+    SCHEMA = "ts timestamp, event_type string, value double"
+
+    def _write(self, d, name, rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        # microsecond precision: Spark can't read pyarrow's nano timestamps
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / name))
+
+    def test_batch_form_matches_manual_windows(self, spark):
+        import pandas as pd
+
+        from dsm2dtm_spark.streaming.windowed import windowed_event_counts
+
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2026-01-01 00:01", "2026-01-01 00:09", "2026-01-01 00:11"]),
+                "event_type": ["a", "a", "a"],
+                "value": [1.0, 2.0, 4.0],
+            }
+        )
+        out = {(r.win_start, r.event_type): (r.n, r.sum_value) for r in
+               windowed_event_counts(spark.createDataFrame(pdf)).collect()}
+        assert out[("2026-01-01 00:00:00", "a")] == (2, 3.0)
+        assert out[("2026-01-01 00:10:00", "a")] == (1, 4.0)
+
+    def test_late_within_watermark_lands_too_late_dropped(self, spark, tmp_path):
+        from dsm2dtm_spark.streaming.windowed import run_windowed_stream
+
+        d = tmp_path / "ev"
+        d.mkdir()
+        ck = str(tmp_path / "ck")
+        outd = str(tmp_path / "out")
+        # batch 1: events up to 00:30 -> watermark advances to 00:25
+        self._write(d, "a.parquet", [("2026-01-01 00:01", "a", 1.0), ("2026-01-01 00:30", "a", 1.0)])
+        run_windowed_stream(spark, str(d), ck, outd, self.SCHEMA)
+        # batch 2: one late row inside the allowance (00:22) and one far too
+        # late (00:05, watermark already past its window end)
+        self._write(d, "b.parquet", [("2026-01-01 00:22", "a", 5.0), ("2026-01-01 00:05", "a", 9.0)])
+        run_windowed_stream(spark, str(d), ck, outd, self.SCHEMA)
+        # batch 3: advance watermark far so every open window closes and emits
+        self._write(d, "c.parquet", [("2026-01-01 01:30", "a", 0.5)])
+        run_windowed_stream(spark, str(d), ck, outd, self.SCHEMA)
+        got = {r.win_start: (r.n, r.sum_value) for r in spark.read.parquet(outd).collect()}
+        assert got["2026-01-01 00:20:00"] == (1, 5.0)  # late 00:22 row landed in its window
+        assert got["2026-01-01 00:00:00"] == (1, 1.0)  # too-late 00:05 row dropped (window closed)
+        assert got["2026-01-01 00:30:00"] == (1, 1.0)
