@@ -219,13 +219,15 @@ def emit_tiles(images_with_stats: DataFrame, tile_px: int, cell_res: int = DEFAU
     return images_with_stats.mapInPandas(tiles, TILE_SCHEMA)
 
 
-def process_tiles(tiles: DataFrame, stats: DataFrame) -> DataFrame:
+def process_tiles(tiles: DataFrame, stats: DataFrame, salted: bool = True) -> DataFrame:
     """Pass 3: salted-shuffle tiles to executors keyed by cell id, then run
     the pipeline per tile with the pass-1 global scalars injected. The
     repartition IS the halo exchange: overlapping pixel strips travel with
-    their tile, so no neighbor join is needed afterwards."""
+    their tile, so no neighbor join is needed afterwards. ``salted=False``
+    exists only for the skew A/B benchmark (scripts/skew_ab.py)."""
     joined = tiles.join(F.broadcast(stats), on="image_id", how="inner")
-    shuffled = joined.repartition(F.col("cell_id"), F.col("salt"))
+    keys = [F.col("cell_id"), F.col("salt")] if salted else [F.col("cell_id")]
+    shuffled = joined.repartition(*keys)
 
     out_schema = StructType(
         [f for f in TILE_SCHEMA.fields if f.name not in ("payload", "salt", "cut_y", "cut_x", "cut_h", "cut_w")]
