@@ -1,0 +1,82 @@
+"""In-pytest oracle parity: run a representative subset of the driver
+contract (queries() vs oracle_sql() through DuckDB) at sf0.001 so the
+official gate — `python -m pytest -x -q` — exercises the Spark↔SQL parity
+machinery end-to-end. The full 34-query sweep lives in
+scripts/check_contract.py (same comparison code path)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q5_nation_volume",
+    "window_top3_orders_per_customer",
+    "rollup_lineitem_flags",
+    "utm_zone_histogram",
+    "cell_encode_events",
+    "docs_lang_id",
+    "docs_jaccard_consecutive",
+    "emb_topk_cosine",
+    "img_tile_assignments",
+    "img_knn_anchors",
+]
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+    return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entry.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"rowcount {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert canon(sdf) == canon(odf)
+
+
+def test_every_query_has_oracle_or_documented_reason(spark):
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    missing = set(qs) - set(oracles)
+    # sketch/approximate/pipeline ops are rows-only BY DESIGN — keep the list
+    # explicit so a forgotten oracle fails loudly
+    allowed_rows_only = {
+        "approx_distinct_users",
+        "docs_minhash_near_dups",
+        "docs_simhash",
+        "emb_lsh_topk",
+        "emb_ivf_topk",
+        "dtm_pipeline_metrics",
+    }
+    assert missing == allowed_rows_only
+    assert not (set(oracles) - set(qs)), "oracle without a query"
