@@ -67,6 +67,19 @@ def srp_bucket_expr(vec_col: str, planes: np.ndarray):
     return bits.cast("long")
 
 
+def _srp_multi_buckets(df: DataFrame, vec_col: str, out_id: str, planes_per_table: list[np.ndarray]) -> DataFrame:
+    """One row per (vector, table): bucket = table_idx composed with the
+    table's sign bits — the standard multi-table SRP layout (union of tables
+    recovers the recall a single bit-vector table cannot reach)."""
+    buckets = F.array(
+        *[
+            srp_bucket_expr(vec_col, planes).bitwiseOR(F.lit(t << 48))
+            for t, planes in enumerate(planes_per_table)
+        ]
+    )
+    return df.select(F.col(vec_col).alias("_v"), F.col(out_id), F.explode(buckets).alias("bucket"))
+
+
 def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 
@@ -148,27 +161,37 @@ def lsh_topk(
     queries: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: SRP-bucket both sides, equi-join on bucket,
-    rank within candidates. Recall < 1 by design; the exact verifier is
-    brute_force_topk (used in tests to measure recall)."""
-    planes = make_planes(dim, n_planes)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qvec"),
-        srp_bucket_expr(query_vec_col, planes).alias("bucket"),
+    """Approximate cosine top-k via multi-table SRP-LSH: ``n_tables``
+    independent sign-projection tables of ``n_planes`` bits each; candidates
+    are the union of per-table bucket collisions (distinct pairs), then exact
+    rerank. Recall/latency trade via (n_planes, n_tables): fewer planes →
+    bigger buckets, more tables → more chances to collide. The exact verifier
+    is brute_force_topk (tests measure recall)."""
+    rng_tables = [make_planes(dim, n_planes, seed=7 + 101 * t) for t in range(n_tables)]
+    q = _srp_multi_buckets(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")),
+        "qvec",
+        "query_id",
+        rng_tables,
+    ).withColumnRenamed("_v", "qvec")
+    c = _srp_multi_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+        "neighbor_id",
+        rng_tables,
+    ).withColumnRenamed("_v", "cvec")
+    pairs = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        srp_bucket_expr(vec_col, planes).alias("bucket"),
-    )
-    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = with_cosine(pairs, "qvec", "cvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
