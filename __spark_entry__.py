@@ -595,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["window_top3_orders_per_customer"] = """
-        SELECT o_custkey, o_orderkey, rn, ROUND(o_totalprice, 2) AS price FROM (
+        SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn, ROUND(o_totalprice, 2) AS price FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders
@@ -669,7 +669,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["events_user_rank_by_type"] = """
-        SELECT event_type, user_id, total, rnk FROM (
+        SELECT event_type, user_id, total, CAST(rnk AS INTEGER) AS rnk FROM (
             SELECT event_type, user_id, ROUND(SUM(value), 2) AS total,
                    ROW_NUMBER() OVER (PARTITION BY event_type
                                       ORDER BY ROUND(SUM(value), 2) DESC, user_id ASC) AS rnk
@@ -791,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM q, c WHERE q.query_id != c.neighbor_id
         )
-        SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored
@@ -858,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["img_knn_anchors"] = f"""
-        SELECT query_id, point_id, rank FROM (
+        SELECT query_id, point_id, CAST(rank AS INTEGER) AS rank FROM (
             SELECT q.query_id, i.image_id AS point_id,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
                                       ORDER BY sqrt((q.x - i.lon0) * (q.x - i.lon0)
