@@ -345,6 +345,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_json_props"] = events_json_props
 
+    def events_lag_gaps(spark, sf):
+        # lag() window: inter-event gap seconds per user, averaged per type
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        return (
+            ev.withColumn("gap_s", gap)
+            .filter(F.col("gap_s").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                # explicit double sum/count: DuckDB's AVG(BIGINT) averages in
+                # exact arithmetic and can round the 2nd decimal differently
+                F.round(F.sum("gap_s").cast("double") / F.count(F.lit(1)), 2).alias("avg_gap_s"),
+                F.count("*").alias("n_gaps"),
+            )
+        )
+
+    q["events_lag_gaps"] = events_lag_gaps
+
     def exact_distinct_users(spark, sf):
         ev = _t(spark, sf, "events")
         return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
@@ -706,6 +725,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(k) AS BIGINT) AS max_k,
                COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
         FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        GROUP BY event_type
+    """
+
+    o["events_lag_gaps"] = """
+        SELECT event_type, ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 2) AS avg_gap_s, COUNT(*) AS n_gaps
+        FROM (
+            SELECT event_type,
+                   epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_s
+            FROM events
+        ) WHERE gap_s IS NOT NULL
         GROUP BY event_type
     """
 
