@@ -349,15 +349,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lag() window: inter-event gap seconds per user, averaged per type
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        # integer microseconds (≡ DuckDB epoch_us): exact arithmetic, keeps
+        # sub-second precision that unix_timestamp would truncate
+        us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+        gap = us - F.lag(us).over(w)
         return (
             ev.withColumn("gap_s", gap)
             .filter(F.col("gap_s").isNotNull())
             .groupBy("event_type")
             .agg(
-                # explicit double sum/count: DuckDB's AVG(BIGINT) averages in
-                # exact arithmetic and can round the 2nd decimal differently
-                F.round(F.sum("gap_s").cast("double") / F.count(F.lit(1)), 2).alias("avg_gap_s"),
+                # explicit double sum/count: DuckDB's AVG over exact integers
+                # can round the 2nd decimal differently
+                F.round(F.sum("gap_s").cast("double") / 1000000.0 / F.count(F.lit(1)), 2).alias("avg_gap_s"),
                 F.count("*").alias("n_gaps"),
             )
         )
@@ -729,12 +732,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["events_lag_gaps"] = """
-        SELECT event_type, ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 2) AS avg_gap_s, COUNT(*) AS n_gaps
+        SELECT event_type,
+               ROUND(CAST(SUM(gap_us) AS DOUBLE) / 1000000.0 / COUNT(*), 2) AS avg_gap_s,
+               COUNT(*) AS n_gaps
         FROM (
             SELECT event_type,
-                   epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_s
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
             FROM events
-        ) WHERE gap_s IS NOT NULL
+        ) WHERE gap_us IS NOT NULL
         GROUP BY event_type
     """
 
