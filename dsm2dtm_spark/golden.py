@@ -92,12 +92,16 @@ def pmf(
         return surface.copy()
     fill = np.min(surface[valid]) if min_fill is None else min_fill
     working = np.where(valid, surface, fill)
+    buf = np.empty_like(working)
+    mask = np.empty(working.shape, dtype=bool)
     w = init_window
     while w <= max_window:
         dh = min(init_threshold + slope_px * ((w - 1) // 2), max_threshold)
         opened = grey_opening_square(working, w)
-        above = (working - opened) > dh
-        working[above] = opened[above]
+        # fused update (reused buffers): working[working - opened > dh] = opened
+        np.subtract(working, opened, out=buf)
+        np.greater(buf, dh, out=mask)
+        np.copyto(working, opened, where=mask)
         w = 2 * w - 1
     return np.where(valid, working, nodata)
 
