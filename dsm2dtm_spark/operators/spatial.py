@@ -16,7 +16,7 @@ queries need a wider ring. Distances are Euclidean in degree space.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+
 
 import numpy as np
 import pandas as pd
