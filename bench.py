@@ -71,6 +71,9 @@ def run_dtm_phase(spark) -> dict:
     from dsm2dtm_spark.plans import dtm_transform
 
     images = spark.read.parquet(BENCH_IMAGES)
+    # warmup: 8 rows through the full plan spins up codegen + the python
+    # worker pool so the measured number is engine throughput, not JVM boot
+    dtm_transform(images.limit(8), radius_m=40.0).count()
     t0 = time.time()
     out = dtm_transform(images, radius_m=40.0)
     agg = out.agg(
@@ -94,6 +97,7 @@ def run_tiled_phase(spark) -> dict:
     from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
 
     images = spark.read.parquet(BENCH_BIG_IMAGES)
+    tiled_dtm_transform(images.limit(1), tile_px=512, radius_m=15.0).count()  # warmup
     t0 = time.time()
     out = tiled_dtm_transform(images, tile_px=512, radius_m=15.0)
     agg = out.agg(
