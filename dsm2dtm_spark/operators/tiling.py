@@ -139,21 +139,47 @@ def tile_center_lonlat(
     return lon, lat
 
 
-def image_stats(images: DataFrame, radius_m: float | None, slope: float | None) -> DataFrame:
+def image_stats(images: DataFrame, radius_m: float | None, slope: float | None, chunked: bool = False) -> DataFrame:
     """Pass 1: per-image global scalars. Cheap relative to pass 3 (decode +
-    one gradient/median), and the only stage that must see whole images."""
+    one gradient/median), and the only stage that must see whole images.
+
+    ``chunked=True`` streams raw_f32 payloads in row blocks through the
+    bounded-memory exact (min, median-slope) kernel
+    (kernels.streamstats) — identical results, memory O(block) instead of
+    O(image), for rasters beyond single-task decode budgets."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dsm2dtm_spark.kernels.streamstats import chunked_min_and_slope
+
         for pdf in batches:
             out = {k: [] for k in STATS_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
-                grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 cell_size = max((abs(row.xres_m) + abs(row.yres_m)) / 2.0, 0.001)
                 if cell_size < MIN_PROCESS_RES_M * 0.9:
                     raise ValueError(
                         f"{row.image_id}: cell_size {cell_size} routes to the coarse path, "
                         "which is whole-image by construction — use the whole-image plan"
                     )
+                if chunked and row.fmt == "raw_f32":
+                    h, w = int(row.h), int(row.w)
+                    mn, s_auto = chunked_min_and_slope(row.bytes, h, w, cell_size, NODATA_DEFAULT)
+                    s = slope if slope is not None else s_auto
+                    max_dim = max(h, w)
+                    p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)
+                    if radius_m is not None:
+                        apply_radius_override(p, radius_m, cell_size, max_dim)
+                    out["image_id"].append(row.image_id)
+                    out["min_valid"].append(mn)
+                    out["slope_used"].append(float(s))
+                    out["cell_size"].append(cell_size)
+                    out["init_window"].append(p.init_window)
+                    out["max_window"].append(p.max_window)
+                    out["refine_sigma"].append(p.refine_sigma)
+                    out["final_sigma"].append(p.final_sigma)
+                    out["gap_dist_px"].append(p.gap_dist_px)
+                    out["halo_px"].append(total_influence_px(p))
+                    continue
+                grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 s = slope if slope is not None else golden.terrain_slope(grid, cell_size, NODATA_DEFAULT)
                 max_dim = max(grid.shape)
                 p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)

@@ -140,3 +140,14 @@ class TestImageStats:
         sdf = spark.createDataFrame(pdf.drop(columns=["scenario"]))
         with pytest.raises(Exception, match="coarse path"):
             tiling.image_stats(sdf, RADIUS, None).collect()
+
+
+class TestChunkedStats:
+    def test_chunked_equals_whole_image_stats(self, spark):
+        pdf = big_image_pdf()
+        sdf = spark.createDataFrame(pdf)
+        a = {r.image_id: r for r in tiling.image_stats(sdf, RADIUS, None).collect()}
+        b = {r.image_id: r for r in tiling.image_stats(sdf, RADIUS, None, chunked=True).collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], k
