@@ -367,6 +367,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_lag_gaps"] = events_lag_gaps
 
+    def events_sessionization(spark, sf):
+        # gap-based sessions: a >30-min silence starts a new session; session
+        # id = running count of session starts per user (window cumsum)
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+        gap = us - F.lag(us).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sess = F.sum(new_sess).over(wcum)
+        per_session = (
+            ev.withColumn("session_id", sess)
+            .groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        return per_session.groupBy("user_id").agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.max("n_events").alias("longest_session"),
+        )
+
+    q["events_sessionization"] = events_sessionization
+
     def exact_distinct_users(spark, sf):
         ev = _t(spark, sf, "events")
         return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
@@ -741,6 +763,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         ) WHERE gap_us IS NOT NULL
         GROUP BY event_type
+    """
+
+    o["events_sessionization"] = """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM g
+        ),
+        per_session AS (
+            SELECT user_id, session_id, COUNT(*) AS n_events FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, MAX(n_events) AS longest_session
+        FROM per_session GROUP BY user_id
     """
 
     o["exact_distinct_users"] = """
