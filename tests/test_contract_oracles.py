@@ -80,3 +80,17 @@ def test_every_query_has_oracle_or_documented_reason(spark):
     }
     assert missing == allowed_rows_only
     assert not (set(oracles) - set(qs)), "oracle without a query"
+
+
+def test_contract_tables_match_regeneration(tmp_path):
+    """The committed data/contract parquet must equal fresh generation — the
+    oracle files and the seeded generator cannot drift apart silently."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dsm2dtm_spark import synth
+
+    committed = pq.read_table(entry._IMAGES_PQ).to_pandas()
+    fresh = synth.image_table(n_rows=80, seed=42, sizes=(50, 64, 80), dup_fraction=0.05)
+    assert list(committed.columns) == list(fresh.columns)
+    pd.testing.assert_frame_equal(committed, fresh)
