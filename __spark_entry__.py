@@ -499,6 +499,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_highsim_pairs"] = emb_highsim_pairs
 
+    def emb_cosine_dedup(spark, sf):
+        from dsm2dtm_spark.operators.simsearch import cosine_dedup
+
+        e = _t(spark, sf, "embeddings")
+        # threshold tuned to the corpus (max off-diag cosine ≈ 0.51) so the
+        # leader-dedup path actually drops rows
+        return cosine_dedup(e, threshold=0.45).select("vec_id", "label")
+
+    q["emb_cosine_dedup"] = emb_cosine_dedup
+
     def emb_ivf_topk(spark, sf):  # rows-only: approximate by design
         from dsm2dtm_spark.operators.simsearch import ivf_topk
 
@@ -883,6 +893,17 @@ def oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+    """
+
+    o["emb_cosine_dedup"] = """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dupes AS (
+            SELECT DISTINCT b.vec_id AS drop_id
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        )
+        SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT drop_id FROM dupes)
     """
 
     img = f"read_parquet('{_IMAGES_PQ}')"

@@ -97,6 +97,29 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 
 
+def cosine_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup, leader style: a row is dropped when
+    some LOWER-id row is cosine-similar above ``threshold`` (every duplicate
+    cluster keeps its smallest id; deterministic, SQL-replayable). Candidate
+    generation here is the exact cross join — swap in minhash-style LSH
+    buckets (lsh_topk's tables) for 10⁹-row corpora."""
+    a = corpus.select(F.col(id_col).alias("keep_id"), F.col(vec_col).alias("lv"))
+    b = corpus.select(F.col(id_col).alias("drop_id"), F.col(vec_col).alias("rv"))
+    pairs = a.crossJoin(b).filter(F.col("keep_id") < F.col("drop_id"))
+    dupes = (
+        with_cosine(pairs, "lv", "rv")
+        .filter(F.col("cosine") >= threshold)
+        .select("drop_id")
+        .distinct()
+    )
+    return corpus.join(dupes, corpus[id_col] == dupes.drop_id, "left_anti")
+
+
 def make_centroids(dim: int, n_centroids: int = 16, seed: int = 13) -> np.ndarray:
     """Deterministic unit-norm coarse-quantizer centroids (IVF without the
     training pass: seeded random directions; at real scale these would come

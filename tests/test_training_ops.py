@@ -164,3 +164,16 @@ class TestMultimodal:
         out = M.frame_sample(df, every_n=3).collect()
         assert sorted(r.frame_idx for r in out) == [0, 3, 6, 9]
         assert all(bytes(r.bytes)[0] == r.frame_idx for r in out)
+
+
+class TestCosineDedup:
+    def test_leader_kept_duplicates_dropped(self, spark):
+        rng = np.random.default_rng(21)
+        base = rng.normal(size=(20, 8)).astype(np.float32)
+        base[7] = base[3] * 1.001  # near-dup of 3 (same direction)
+        base[15] = base[3] * 0.98
+        pdf = pd.DataFrame({"vec_id": range(20), "embedding": [v.tolist() for v in base]})
+        out = S.cosine_dedup(spark.createDataFrame(pdf), threshold=0.999)
+        kept = {r.vec_id for r in out.collect()}
+        assert 3 in kept and 7 not in kept and 15 not in kept
+        assert len(kept) == 18
