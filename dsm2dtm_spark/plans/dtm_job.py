@@ -47,6 +47,7 @@ DTM_OUTPUT_SCHEMA = StructType(
         StructField("valid_out", LongType()),
         StructField("wall_ms", DoubleType()),
         StructField("partition_id", IntegerType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -57,9 +58,15 @@ def dtm_transform(
     slope: float | None = None,
     nodata: float = NODATA_DEFAULT,
     min_parallelism: int | None = None,
+    permissive: bool = False,
 ) -> DataFrame:
     """images(image_id, bytes, w, h, fmt, caption, xres_m, yres_m, ...) →
     DTM rows in the same codec, plus lineage/metrics columns.
+
+    ``permissive=True``: a corrupt payload no longer kills the job — the row
+    comes back with null bytes and the exception recorded in ``error``
+    (filter ``error IS NULL`` for clean rows, route the rest to a quarantine
+    sink). At 10^12 rows a poison row is a certainty, not an edge case.
 
     ``min_parallelism``: compute is ~10^3× heavier per byte than the scan, so
     a low-partition input (one fat parquet file) would serialize the whole job
@@ -81,15 +88,32 @@ def dtm_transform(
             out = {k: [] for k in DTM_OUTPUT_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
                 t0 = time.perf_counter()
-                grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-                dtm = golden.dsm_to_dtm(
-                    grid,
-                    (float(row.xres_m), float(row.yres_m)),
-                    radius_m=radius_m,
-                    slope=slope,
-                    nodata=nodata,
-                )
-                data = codecs.encode(dtm, row.fmt, nodata)
+                try:
+                    grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                    dtm = golden.dsm_to_dtm(
+                        grid,
+                        (float(row.xres_m), float(row.yres_m)),
+                        radius_m=radius_m,
+                        slope=slope,
+                        nodata=nodata,
+                    )
+                    data = codecs.encode(dtm, row.fmt, nodata)
+                except Exception as exc:  # noqa: BLE001 — quarantined, not swallowed
+                    if not permissive:
+                        raise
+                    out["image_id"].append(row.image_id)
+                    out["bytes"].append(None)
+                    out["w"].append(int(row.w))
+                    out["h"].append(int(row.h))
+                    out["fmt"].append(row.fmt)
+                    out["caption"].append(row.caption)
+                    out["phash"].append(0)
+                    out["valid_in"].append(0)
+                    out["valid_out"].append(0)
+                    out["wall_ms"].append((time.perf_counter() - t0) * 1000.0)
+                    out["partition_id"].append(pid)
+                    out["error"].append(f"{type(exc).__name__}: {exc}"[:500])
+                    continue
                 out["image_id"].append(row.image_id)
                 out["bytes"].append(data)
                 out["w"].append(int(row.w))
@@ -101,6 +125,7 @@ def dtm_transform(
                 out["valid_out"].append(int(np.sum(dtm != nodata)))
                 out["wall_ms"].append((time.perf_counter() - t0) * 1000.0)
                 out["partition_id"].append(pid)
+                out["error"].append(None)
             yield pd.DataFrame(out)
 
     return images.mapInPandas(process, DTM_OUTPUT_SCHEMA)

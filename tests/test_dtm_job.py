@@ -107,3 +107,20 @@ class TestPlanQuality:
         df = input_table.read(spark).filter("w = 64").select("image_id")
         plan = df._jdf.queryExecution().toString()
         assert "PushedFilters: [" in plan and "w" in plan.split("PushedFilters")[-1][:200]
+
+
+class TestPermissiveMode:
+    def test_poison_row_quarantined_not_fatal(self, spark, image_pdf):
+        pdf = image_pdf.iloc[:6].copy()
+        pdf.loc[pdf.index[2], "bytes"] = b"corrupt payload"
+        sdf = spark.createDataFrame(pdf.drop(columns=["scenario"]))
+        # strict mode: the job fails
+        with pytest.raises(Exception):
+            dtm_transform(sdf, radius_m=RADIUS).collect()
+        # permissive: 6 rows come back, one quarantined with the error
+        rows = dtm_transform(sdf, radius_m=RADIUS, permissive=True).collect()
+        assert len(rows) == 6
+        bad = [r for r in rows if r.error is not None]
+        assert len(bad) == 1 and bad[0].bytes is None
+        good = [r for r in rows if r.error is None]
+        assert all(r.bytes is not None for r in good)
