@@ -56,24 +56,41 @@ def _ensure_contract_tables() -> None:
 
 def _ship_engine(spark: SparkSession) -> None:
     """Make dsm2dtm_spark importable on executors no matter where the driver
-    process was started: zip the package once and addPyFile it (idempotent
-    per session). Local-mode workers inherit neither the driver's sys.path
-    nor its cwd, so a driver launched outside /root/repo would otherwise fail
-    inside every pandas UDF."""
+    process was started: zip the package and addPyFile it (idempotent per
+    session). Local-mode workers inherit neither the driver's sys.path nor
+    its cwd, so a driver launched outside /root/repo would otherwise fail
+    inside every pandas UDF.
+
+    The zip is named by a content hash of the package sources: any edit to
+    dsm2dtm_spark/ produces a new artifact, so executors can never import a
+    stale copy left from an earlier run (addPyFile paths precede repo paths
+    on worker sys.path)."""
     if getattr(spark, "_dsm2dtm_shipped", False):
         return
+    import hashlib
     import zipfile
 
-    zpath = os.path.join(_CONTRACT_DIR, "engine.zip")
+    pkg = os.path.join(_HERE, "dsm2dtm_spark")
+    sources = sorted(
+        os.path.join(root, fn)
+        for root, _, fns in os.walk(pkg)
+        for fn in fns
+        if fn.endswith(".py")
+    )
+    digest = hashlib.md5()
+    for full in sources:
+        digest.update(os.path.relpath(full, _HERE).encode())
+        with open(full, "rb") as f:
+            digest.update(f.read())
+    zpath = os.path.join(_CONTRACT_DIR, f"engine-{digest.hexdigest()[:16]}.zip")
     if not os.path.exists(zpath):
         os.makedirs(_CONTRACT_DIR, exist_ok=True)
-        pkg = os.path.join(_HERE, "dsm2dtm_spark")
+        for stale in os.listdir(_CONTRACT_DIR):  # drop superseded builds
+            if stale.startswith("engine-") and stale.endswith(".zip"):
+                os.unlink(os.path.join(_CONTRACT_DIR, stale))
         with zipfile.ZipFile(zpath + ".tmp", "w") as z:
-            for root, _, fns in os.walk(pkg):
-                for fn in fns:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        z.write(full, os.path.relpath(full, _HERE))
+            for full in sources:
+                z.write(full, os.path.relpath(full, _HERE))
         os.replace(zpath + ".tmp", zpath)
     spark.sparkContext.addPyFile(zpath)
     spark._dsm2dtm_shipped = True

@@ -27,8 +27,10 @@ too. Global scalars: the valid minimum provably survives PMF and refinement
 serves every min-fill; slope/param/window clamps come from pass-1 dims.
 
 The coarse path (cell_size < 0.45 m) resamples with whole-image endpoint-
-aligned coordinates and cannot be tiled exactly — such rows must go through
-the whole-image plan (enforced in image_stats).
+aligned coordinates and cannot be tiled exactly — ``tiled_dtm_transform``
+routes such rows to the whole-image plan inside the same job (a metadata
+predicate split + unionByName); ``image_stats`` still hard-fails if a coarse
+row reaches the tile stages directly.
 """
 
 from __future__ import annotations
@@ -55,6 +57,8 @@ from dsm2dtm_spark.operators import cellindex
 from dsm2dtm_spark.params import (
     MIN_PROCESS_RES_M,
     NODATA_DEFAULT,
+    PMF_INIT_THRESHOLD,
+    PMF_MAX_THRESHOLD,
     apply_radius_override,
     derive_params,
     total_influence_px,
@@ -245,7 +249,13 @@ def emit_tiles(images_with_stats: DataFrame, tile_px: int, cell_res: int = DEFAU
     return images_with_stats.mapInPandas(tiles, TILE_SCHEMA)
 
 
-def process_tiles(tiles: DataFrame, stats: DataFrame, salted: bool = True) -> DataFrame:
+def process_tiles(
+    tiles: DataFrame,
+    stats: DataFrame,
+    salted: bool = True,
+    init_threshold: float = PMF_INIT_THRESHOLD,
+    max_threshold: float = PMF_MAX_THRESHOLD,
+) -> DataFrame:
     """Pass 3: salted-shuffle tiles to executors keyed by cell id, then run
     the pipeline per tile with the pass-1 global scalars injected. The
     repartition IS the halo exchange: overlapping pixel strips travel with
@@ -268,7 +278,8 @@ def process_tiles(tiles: DataFrame, stats: DataFrame, salted: bool = True) -> Da
                 mn = None if np.isnan(row.min_valid) else float(row.min_valid)
                 ground = golden.pmf(
                     cut, NODATA_DEFAULT, int(row.init_window), int(row.max_window),
-                    float(row.slope_used) * float(row.cell_size), min_fill=mn,
+                    float(row.slope_used) * float(row.cell_size),
+                    init_threshold, max_threshold, min_fill=mn,
                 )
                 ground = golden.refine(ground, NODATA_DEFAULT, float(row.refine_sigma), min_fill=mn)
                 ground = golden.final_smooth(ground, NODATA_DEFAULT, float(row.final_sigma), min_fill=mn)
@@ -340,16 +351,45 @@ def tiled_dtm_transform(
     radius_m: float | None = None,
     slope: float | None = None,
     cell_res: int = DEFAULT_CELL_RES,
+    init_threshold: float = PMF_INIT_THRESHOLD,
+    max_threshold: float = PMF_MAX_THRESHOLD,
+    route_coarse: bool = True,
 ) -> DataFrame:
-    """Full tiled plan: stats → tiles → salted shuffle → process → stitch."""
+    """Full tiled plan: stats → tiles → salted shuffle → process → stitch.
+
+    Coarse-path rows (cell_size < 0.9·0.45 m) resample with whole-image
+    endpoint-aligned coordinates and cannot be tiled exactly; with
+    ``route_coarse`` they are split off by a metadata predicate and run
+    through the whole-image plan inside the same job, so a mixed-resolution
+    table processes end-to-end in one call. Outputs stay bit-exact on both
+    branches (the union is by name on the common stitched schema)."""
+    if route_coarse:
+        cell_size = F.greatest(
+            (F.abs(F.col("xres_m")) + F.abs(F.col("yres_m"))) / 2.0, F.lit(0.001)
+        )
+        is_coarse = cell_size < MIN_PROCESS_RES_M * 0.9
+        coarse_rows = images.filter(is_coarse)
+        images = images.filter(~is_coarse)
     stats = image_stats(images, radius_m, slope)
     tiles = emit_tiles(
         images.join(F.broadcast(stats.select("image_id", "halo_px")), on="image_id", how="inner"),
         tile_px,
         cell_res,
     )
-    processed = process_tiles(tiles, stats)
-    return stitch(processed)
+    processed = process_tiles(tiles, stats, init_threshold=init_threshold, max_threshold=max_threshold)
+    out = stitch(processed)
+    if route_coarse:
+        from dsm2dtm_spark.plans import dtm_transform
+
+        coarse_out = dtm_transform(
+            coarse_rows,
+            radius_m=radius_m,
+            slope=slope,
+            init_threshold=init_threshold,
+            max_threshold=max_threshold,
+        ).select(*STITCHED_SCHEMA.fieldNames())
+        out = out.unionByName(coarse_out)
+    return out
 
 
 def tile_assignments(images: DataFrame, tile_px: int, cell_res: int = DEFAULT_CELL_RES) -> DataFrame:

@@ -32,7 +32,12 @@ from pyspark.sql.types import (
 )
 
 from dsm2dtm_spark import codecs, golden
-from dsm2dtm_spark.params import DEFAULT_RADIUS_M, NODATA_DEFAULT
+from dsm2dtm_spark.params import (
+    DEFAULT_RADIUS_M,
+    NODATA_DEFAULT,
+    PMF_INIT_THRESHOLD,
+    PMF_MAX_THRESHOLD,
+)
 
 DTM_OUTPUT_SCHEMA = StructType(
     [
@@ -59,6 +64,8 @@ def dtm_transform(
     nodata: float = NODATA_DEFAULT,
     min_parallelism: int | None = None,
     permissive: bool = False,
+    init_threshold: float = PMF_INIT_THRESHOLD,
+    max_threshold: float = PMF_MAX_THRESHOLD,
 ) -> DataFrame:
     """images(image_id, bytes, w, h, fmt, caption, xres_m, yres_m, ...) →
     DTM rows in the same codec, plus lineage/metrics columns.
@@ -96,6 +103,8 @@ def dtm_transform(
                         radius_m=radius_m,
                         slope=slope,
                         nodata=nodata,
+                        init_threshold=init_threshold,
+                        max_threshold=max_threshold,
                     )
                     data = codecs.encode(dtm, row.fmt, nodata)
                 except Exception as exc:  # noqa: BLE001 — quarantined, not swallowed
@@ -139,7 +148,15 @@ def resume_remaining(images: DataFrame, done: DataFrame | None) -> DataFrame:
     return images.join(done.select("image_id"), on="image_id", how="left_anti")
 
 
-def run_dtm_job(spark, input_table, output_table, radius_m: float | None = DEFAULT_RADIUS_M, slope=None):
+def run_dtm_job(
+    spark,
+    input_table,
+    output_table,
+    radius_m: float | None = DEFAULT_RADIUS_M,
+    slope=None,
+    init_threshold: float = PMF_INIT_THRESHOLD,
+    max_threshold: float = PMF_MAX_THRESHOLD,
+):
     """End-to-end: snapshot scan → resume anti-join → transform → snapshot
     commit. Returns (n_processed, snapshot). Rerunning after a partial commit
     processes only the remainder (exactly-once via the atomic manifest)."""
@@ -153,7 +170,9 @@ def run_dtm_job(spark, input_table, output_table, radius_m: float | None = DEFAU
     n = todo.count()  # cheap: column-pruned metadata scan, never decodes bytes
     if n == 0:
         return 0, output_table.current_snapshot()
-    result = dtm_transform(todo, radius_m=radius_m, slope=slope)
+    result = dtm_transform(
+        todo, radius_m=radius_m, slope=slope, init_threshold=init_threshold, max_threshold=max_threshold
+    )
     snap = output_table.write_dataframe(result, summary={"rows": n, "op": "dtm"})
     return n, snap
 

@@ -5,11 +5,17 @@ names for custom stateful operators).
 A continuous image ingest sees the same asset re-crawled across days; the
 first occurrence should flow through, later ones be dropped. Grouping the
 stream by ``phash`` and keeping one boolean per group in the state store does
-exactly that — state survives micro-batches via the checkpoint, so the
-operator is exactly-once across restarts too.
+exactly that — state survives micro-batches via the checkpoint. End-to-end delivery
+is exactly-once as long as the sink is idempotent: foreachBatch alone is
+at-least-once (a crash between the sink write and the checkpoint commit
+replays the batch), so the sink below keys each write by batch_id and
+overwrites — a replayed batch lands in the same directory instead of
+duplicating rows.
 """
 
 from __future__ import annotations
+
+import os
 
 from collections.abc import Iterator
 
@@ -45,8 +51,10 @@ def _first_occurrence(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> I
 def streaming_phash_dedup(spark, inbox_dir: str, checkpoint_dir: str, out_dir: str, available_now: bool = True):
     """File-stream the image table, emit only the first row ever seen per
     phash — across micro-batches AND restarts (per-group state lives in the
-    checkpointed state store). Emitted rows are appended to ``out_dir``
-    parquet via foreachBatch (restart-capable, unlike the memory sink).
+    checkpointed state store). Emitted rows land under ``out_dir`` parquet
+    via an idempotent foreachBatch sink: each micro-batch overwrites its own
+    ``batch_id=N`` partition, so a replay after a crash between sink write
+    and checkpoint commit rewrites the same data instead of duplicating it.
     Returns the accumulated output DataFrame in availableNow mode."""
     from dsm2dtm_spark.streaming.ingest import IMAGE_SCHEMA_DDL
 
@@ -60,7 +68,7 @@ def streaming_phash_dedup(spark, inbox_dir: str, checkpoint_dir: str, out_dir: s
     )
 
     def sink(batch_df, batch_id: int):
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
 
     writer = (
         deduped.writeStream.foreachBatch(sink)
@@ -70,5 +78,5 @@ def streaming_phash_dedup(spark, inbox_dir: str, checkpoint_dir: str, out_dir: s
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        return spark.read.parquet(out_dir)
+        return spark.read.parquet(out_dir).drop("batch_id")
     return writer.start()

@@ -9,6 +9,8 @@ land in their window.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -41,12 +43,15 @@ def windowed_event_counts(
 def run_windowed_stream(spark, inbox_dir: str, checkpoint_dir: str, out_dir: str, schema_ddl: str):
     """File-stream events → watermarked tumbling-window agg → parquet via
     foreachBatch (append output mode emits only windows the watermark has
-    closed — the late-data contract under test)."""
+    closed — the late-data contract under test). The sink is idempotent:
+    each micro-batch overwrites its own ``batch_id=N`` partition, so a
+    replayed batch (crash between sink write and checkpoint commit) cannot
+    duplicate rows."""
     stream = spark.readStream.schema(schema_ddl).parquet(inbox_dir)
     agg = windowed_event_counts(stream)
 
     def sink(batch_df, batch_id: int):
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
 
     q = (
         agg.writeStream.foreachBatch(sink)

@@ -50,14 +50,29 @@ def main():
         n = todo.count()
         if n:
             out.write_dataframe(
-                tiled_dtm_transform(todo, tile_px=args.tile_px, radius_m=args.radius, slope=args.slope),
+                tiled_dtm_transform(
+                    todo,
+                    tile_px=args.tile_px,
+                    radius_m=args.radius,
+                    slope=args.slope,
+                    init_threshold=args.init_threshold,
+                    max_threshold=args.max_threshold,
+                ),
                 summary={"rows": n, "op": "dtm-tiled"},
             )
         snap = out.current_snapshot()
     else:
         from dsm2dtm_spark.plans import run_dtm_job
 
-        n, snap = run_dtm_job(spark, inp, out, radius_m=args.radius, slope=args.slope)
+        n, snap = run_dtm_job(
+            spark,
+            inp,
+            out,
+            radius_m=args.radius,
+            slope=args.slope,
+            init_threshold=args.init_threshold,
+            max_threshold=args.max_threshold,
+        )
 
     print(json.dumps({"processed": n, "snapshot": snap.snapshot_id if snap else None}))
     spark.stop()

@@ -122,6 +122,41 @@ class TestTiledParity:
         assert len(salts) > 1  # hot cells are split across salt buckets
 
 
+class TestCoarseRouting:
+    def test_mixed_resolution_table_single_call(self, spark):
+        """A table mixing standard and coarse rows processes end-to-end in one
+        tiled_dtm_transform call; each branch stays bit-exact vs golden."""
+        std = big_image_pdf().iloc[:1]
+        coarse = synth.image_table(3, seed=7, sizes=(50,), fmts=("raw_f32",)).drop(columns=["scenario"])
+        coarse["xres_m"] = 0.01
+        coarse["yres_m"] = 0.01
+        mixed = pd.concat([std, coarse], ignore_index=True)
+        sdf = spark.createDataFrame(mixed)
+        result = {r.image_id: r for r in tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS).collect()}
+        assert set(result) == set(mixed.image_id)
+        for row in mixed.itertuples(index=False):
+            grid = codecs.decode(row.bytes, row.h, row.w, row.fmt)
+            want = golden.dsm_to_dtm(grid, (row.xres_m, row.yres_m), radius_m=RADIUS)
+            r = result[row.image_id]
+            got = codecs.decode(bytes(r.bytes), r.h, r.w, r.fmt)
+            np.testing.assert_array_equal(got, want, err_msg=row.image_id)
+
+    def test_thresholds_thread_through_tiled_plan(self, spark):
+        """init/max PMF thresholds reach the per-tile kernel (ADVICE: they
+        were parsed but ignored by the CLI) and stay bit-exact vs golden."""
+        pdf = big_image_pdf().iloc[:1]
+        sdf = spark.createDataFrame(pdf)
+        r = tiling.tiled_dtm_transform(
+            sdf, tile_px=128, radius_m=RADIUS, init_threshold=0.5, max_threshold=2.0
+        ).collect()[0]
+        got = codecs.decode(bytes(r.bytes), r.h, r.w, r.fmt)
+        grid = codecs.decode(pdf.bytes.iloc[0], 512, 512, "raw_f32")
+        want = golden.dsm_to_dtm(grid, (2.0, 2.0), radius_m=RADIUS, init_threshold=0.5, max_threshold=2.0)
+        np.testing.assert_array_equal(got, want)
+        default = golden.dsm_to_dtm(grid, (2.0, 2.0), radius_m=RADIUS)
+        assert not np.array_equal(want, default)  # thresholds actually bite
+
+
 class TestImageStats:
     def test_stats_match_golden_params(self, spark):
         pdf = big_image_pdf().iloc[:1]
