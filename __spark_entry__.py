@@ -503,16 +503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def emb_highsim_pairs(spark, sf):
         # embedding-cosine near-dup pairs (threshold tuned to the corpus —
-        # testdata embeddings have no true dups, max off-diag cosine ≈ 0.51)
+        # testdata embeddings have no true dups, max off-diag cosine ≈ 0.51).
+        # Engine path: SRP-LSH bucketed candidates (equi-join, no cross join);
+        # the DuckDB oracle stays the exact all-pairs form.
+        from dsm2dtm_spark.operators.simsearch import cosine_pairs
+
         e = _t(spark, sf, "embeddings")
-        v = F.col("embedding").cast("array<double>")
-        a = e.select(F.col("vec_id").alias("left_id"), v.alias("lv"))
-        b = e.select(F.col("vec_id").alias("right_id"), v.alias("rv"))
-        dot = F.aggregate(F.zip_with("lv", "rv", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
-        nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, z: acc + z))
-        pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
-        cos = F.round(dot / (nrm(F.col("lv")) * nrm(F.col("rv"))), 4)
-        return pairs.select("left_id", "right_id", cos.alias("cosine")).filter(F.col("cosine") >= 0.45)
+        return cosine_pairs(e, threshold=0.45, round_digits=4)
 
     q["emb_highsim_pairs"] = emb_highsim_pairs
 
@@ -521,7 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         # threshold tuned to the corpus (max off-diag cosine ≈ 0.51) so the
-        # leader-dedup path actually drops rows
+        # dedup path actually drops rows; bucketed candidates, exact oracle
         return cosine_dedup(e, threshold=0.45).select("vec_id", "label")
 
     q["emb_cosine_dedup"] = emb_cosine_dedup
@@ -530,9 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dsm2dtm_spark.operators.simsearch import ivf_topk
 
         e = _t(spark, sf, "embeddings")
-        dim = len(e.select("embedding").first()[0])
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
-        return ivf_topk(e, queries_df, k=5, dim=dim)
+        return ivf_topk(e, queries_df, k=5)
 
     q["emb_ivf_topk"] = emb_ivf_topk
 
@@ -540,9 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dsm2dtm_spark.operators.simsearch import lsh_topk
 
         e = _t(spark, sf, "embeddings")
-        dim = len(e.select("embedding").first()[0])
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
-        return lsh_topk(e, queries_df, k=5, dim=dim)
+        return lsh_topk(e, queries_df, k=5)
 
     q["emb_lsh_topk"] = emb_lsh_topk
 

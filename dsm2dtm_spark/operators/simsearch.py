@@ -7,10 +7,17 @@ Scale notes: brute force is a broadcast of the (small) query set against the
 JVM ``aggregate``/``zip_with`` expressions inside whole-stage codegen, never
 row-at-a-time Python. The LSH variant buckets by sign-random-projection bits
 so candidate generation is an equi-join on bucket id; recall/latency trade
-via n_planes.
+via (n_planes, n_tables). All SRP sign bits come from ONE Arrow-batched
+matrix multiply per batch (stacked plane matrices), not per-plane JVM
+expressions — at 8 tables × 6 bits the expression form measured slower than
+brute force. Pair-wise operators (``cosine_pairs``, ``cosine_dedup``) derive
+their LSH parameters from the cosine threshold (``srp_params_for``) so the
+per-pair miss probability at the threshold is bounded, and never cross-join.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -55,46 +62,103 @@ def brute_force_topk(
     )
 
 
-def srp_bucket_expr(vec_col: str, planes: np.ndarray):
-    """Sign-random-projection bucket id: bit i = sign(v·plane_i). Planes are a
-    deterministic seeded matrix broadcast as literals (n_planes ≤ 16)."""
-    bits = None
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        d = _dot(F.col(vec_col).cast("array<double>"), arr)
-        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits.bitwiseOR(bit)
-    return bits.cast("long")
+def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(n_planes, dim))
 
 
-def _srp_multi_buckets(df: DataFrame, vec_col: str, out_id: str, planes_per_table: list[np.ndarray]) -> DataFrame:
-    """One row per (vector, table): bucket = table_idx composed with the
-    table's sign bits — the standard multi-table SRP layout (union of tables
-    recovers the recall a single bit-vector table cannot reach).
+def srp_params_for(threshold: float, delta: float = 1e-3, max_tables: int = 32, max_planes: int = 12) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from a cosine threshold: a pair at exactly
+    ``threshold`` must collide in ≥1 table with probability ≥ 1−delta.
 
-    All tables' sign bits come from ONE Arrow-batched matrix multiply per
-    batch (stacked planes), not per-plane JVM expressions — at 8 tables × 6
-    bits the expression form was slower than brute force."""
-    stacked = np.vstack(planes_per_table)  # (T*B, dim)
-    n_planes = planes_per_table[0].shape[0]
-    n_tables = len(planes_per_table)
+    SRP math: two vectors at angle θ agree on one sign bit with probability
+    p = 1 − θ/π, so a b-bit table collides with p^b and T independent tables
+    miss with (1−p^b)^T. Pick the LARGEST b (most selective buckets → fewest
+    candidate pairs) whose required T still fits ``max_tables``. High
+    thresholds get deep selective tables; low thresholds force shallow ones —
+    that degradation is information-theoretic, not an implementation limit
+    (a 63° "near"-dup radius genuinely covers most of the sphere)."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if p >= 1.0:
+        return max_planes, 1
+    for b in range(max_planes, 0, -1):
+        pb = p**b
+        t = math.ceil(math.log(delta) / math.log(1.0 - pb))
+        if t <= max_tables:
+            return b, t
+    return 1, max_tables
+
+
+def srp_buckets_udf(n_planes: int, n_tables: int, seed: int = 7):
+    """Arrow-batched bucket ids for all tables in ONE matrix multiply; the
+    plane matrix is derived deterministically from (dim, n_planes, n_tables,
+    seed) inside the UDF, so no driver-side action is needed to learn the
+    embedding dimension (and every worker regenerates identical planes)."""
+    cache: dict[int, np.ndarray] = {}
+
+    def planes_for(dim: int) -> np.ndarray:
+        if dim not in cache:
+            cache[dim] = np.vstack([make_planes(dim, n_planes, seed=seed + 101 * t) for t in range(n_tables)])
+        return cache[dim]
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (m @ stacked.T) >= 0  # (n, T*B)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        out = []
-        for row in signs.reshape(len(m), n_tables, n_planes):
-            ids = (row * weights).sum(axis=1) | (np.arange(n_tables, dtype=np.int64) << 48)
-            out.append(ids.tolist())
-        return pd.Series(out)
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        signs = (m @ planes_for(m.shape[1]).T) >= 0  # (n, T*B)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        ids = (signs.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2, dtype=np.int64)
+        ids = ids | (np.arange(n_tables, dtype=np.int64) << 48)  # table id in high bits
+        return pd.Series([row.tolist() for row in ids])
 
-    return df.select(F.col(vec_col).alias("_v"), F.col(out_id), F.explode(buckets(F.col(vec_col))).alias("bucket"))
+    return buckets
 
 
-def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
-    return np.random.default_rng(seed).normal(size=(n_planes, dim))
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "bucketed",
+    round_digits: int = 6,
+    delta: float = 1e-3,
+    max_tables: int = 32,
+) -> DataFrame:
+    """All (left_id, right_id, cosine) pairs with cosine ≥ threshold and
+    left_id < right_id.
+
+    ``method='bucketed'`` (the engine path, default): candidates come from
+    multi-table SRP-LSH bucket collisions — an equi-join on bucket id, never
+    a cross join. The exploded relation carries only (bucket, id); vectors
+    join back AFTER pair dedup, so the shuffle stays narrow at corpus scale.
+    Parameters derive from the threshold via ``srp_params_for`` (per-pair
+    miss probability ≤ delta at the threshold; tighter above it).
+
+    ``method='exact'``: the O(n²) cross join — the verification oracle for
+    small fixtures and the DuckDB twin.
+    """
+    ids_v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if method == "exact":
+        a = ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv"))
+        b = ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv"))
+        pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
+    else:
+        n_planes, n_tables = srp_params_for(threshold, delta=delta, max_tables=max_tables)
+        bk = srp_buckets_udf(n_planes, n_tables)
+        hashed = ids_v.select("_id", F.explode(bk(F.col("_v"))).alias("bucket"))
+        cand = (
+            hashed.select(F.col("bucket"), F.col("_id").alias("left_id"))
+            .join(hashed.select(F.col("bucket"), F.col("_id").alias("right_id")), on="bucket")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+            .dropDuplicates(["left_id", "right_id"])
+        )
+        pairs = cand.join(
+            ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv")), on="left_id"
+        ).join(ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv")), on="right_id")
+    a, b = F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")
+    cos = F.round(_dot(a, b) / (_norm(a) * _norm(b)), round_digits)
+    return pairs.select("left_id", "right_id", cos.alias("cosine")).filter(F.col("cosine") >= threshold)
 
 
 def cosine_dedup(
@@ -102,19 +166,18 @@ def cosine_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "bucketed",
 ) -> DataFrame:
-    """Embedding-cosine near-dup dedup, leader style: a row is dropped when
-    some LOWER-id row is cosine-similar above ``threshold`` (every duplicate
-    cluster keeps its smallest id; deterministic, SQL-replayable). Candidate
-    generation here is the exact cross join — swap in minhash-style LSH
-    buckets (lsh_topk's tables) for 10⁹-row corpora."""
-    a = corpus.select(F.col(id_col).alias("keep_id"), F.col(vec_col).alias("lv"))
-    b = corpus.select(F.col(id_col).alias("drop_id"), F.col(vec_col).alias("rv"))
-    pairs = a.crossJoin(b).filter(F.col("keep_id") < F.col("drop_id"))
+    """Embedding-cosine near-dup dedup: a row is dropped when ANY lower-id
+    row is cosine-similar above ``threshold`` — including lower-id rows that
+    were themselves dropped (in a chain A~B, B~C, A≁C both B and C drop;
+    this is transitive-reach pruning, deterministic and SQL-replayable, not
+    per-cluster leader election). Candidate generation is the SRP-LSH
+    bucketed equi-join of ``cosine_pairs`` (engine path — survives corpus
+    scale); ``method='exact'`` keeps the O(n²) verification form."""
     dupes = (
-        with_cosine(pairs, "lv", "rv")
-        .filter(F.col("cosine") >= threshold)
-        .select("drop_id")
+        cosine_pairs(corpus, threshold, id_col, vec_col, method=method)
+        .select(F.col("right_id").alias("drop_id"))
         .distinct()
     )
     return corpus.join(dupes, corpus[id_col] == dupes.drop_id, "left_anti")
@@ -128,27 +191,18 @@ def make_centroids(dim: int, n_centroids: int = 16, seed: int = 13) -> np.ndarra
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _argmax_centroid(vec_col: str, centroids: np.ndarray):
-    """Column: index of the max-dot-product centroid (JVM-side).
-
-    Built as array_position(dots, array_max(dots)) — a chained when() would
-    double the expression tree per centroid (2^k nodes) and OOM the driver."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = F.array(*[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids])
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     n_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    seed: int = 13,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every corpus vector to its nearest
     coarse centroid (inverted lists = partition key), probe the ``nprobe``
@@ -157,30 +211,40 @@ def ivf_topk(
     Scale shape: the corpus is scanned once to build list assignments (a
     column, persistable/partitionable); queries explode to nprobe rows and
     the candidate join is a plain equi-join on the list id — never O(n·q).
-    """
-    cents = make_centroids(dim, n_centroids)
+    Centroids regenerate deterministically from (dim, n_centroids, seed)
+    inside the Arrow UDF, so the plan needs no driver-side action to learn
+    the embedding dimension (``dim`` is accepted for API compatibility but
+    unused)."""
+    del dim  # derived per batch inside the UDF
+    cache: dict[int, np.ndarray] = {}
+
+    def cents_for(d: int) -> np.ndarray:
+        if d not in cache:
+            cache[d] = make_centroids(d, n_centroids, seed=seed)
+        return cache[d]
+
+    def lists_udf(n_lists: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def lists(vecs: pd.Series) -> pd.Series:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(m) == 0:
+                return pd.Series([], dtype=object)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents_for(m.shape[1]).T
+            order = np.argsort(-sims, axis=1)[:, :n_lists]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return lists
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        _argmax_centroid(vec_col, cents).alias("list_id"),
+        F.element_at(lists_udf(1)(F.col(vec_col)), 1).alias("list_id"),
     )
-
-    def probe_lists_udf():
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def probes(vecs: pd.Series) -> pd.Series:
-            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ cents.T
-            order = np.argsort(-sims, axis=1)[:, :nprobe]
-            return pd.Series([row.astype("int32").tolist() for row in order])
-
-        return probes
-
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
-        F.explode(probe_lists_udf()(F.col(query_vec_col))).alias("list_id"),
+        F.explode(lists_udf(nprobe)(F.col(query_vec_col))).alias("list_id"),
     )
     pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = with_cosine(pairs, "qvec", "cvec")
@@ -196,7 +260,7 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 6,
     n_tables: int = 8,
     id_col: str = "vec_id",
@@ -209,20 +273,20 @@ def lsh_topk(
     are the union of per-table bucket collisions (distinct pairs), then exact
     rerank. Recall/latency trade via (n_planes, n_tables): fewer planes →
     bigger buckets, more tables → more chances to collide. The exact verifier
-    is brute_force_topk (tests measure recall)."""
-    rng_tables = [make_planes(dim, n_planes, seed=7 + 101 * t) for t in range(n_tables)]
-    q = _srp_multi_buckets(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")),
-        "qvec",
-        "query_id",
-        rng_tables,
-    ).withColumnRenamed("_v", "qvec")
-    c = _srp_multi_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        "cvec",
-        "neighbor_id",
-        rng_tables,
-    ).withColumnRenamed("_v", "cvec")
+    is brute_force_topk (tests measure recall). Planes regenerate
+    deterministically inside the Arrow UDF (``dim`` accepted but unused)."""
+    del dim  # derived per batch inside the UDF
+    bk = srp_buckets_udf(n_planes, n_tables)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+        F.explode(bk(F.col(query_vec_col))).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.explode(bk(F.col(vec_col))).alias("bucket"),
+    )
     pairs = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -210,6 +210,50 @@ def knn_query_table(n_rows: int, seed: int = 44, k: int = 4) -> pd.DataFrame:
     )
 
 
+def embedding_table(
+    n_rows: int,
+    dim: int = 64,
+    n_clusters: int = 20,
+    noise: float = 0.15,
+    dup_fraction: float = 0.05,
+    dup_noise: float = 0.01,
+    seed: int = 77,
+) -> pd.DataFrame:
+    """Clustered unit-norm embeddings with planted near-duplicates — the
+    fixture ANN recall must be measured on (a near-uniform corpus defeats
+    every locality hash by construction; real embedding corpora are
+    clustered). Each row is a cluster direction + gaussian noise,
+    re-normalized; ``dup_fraction`` of rows additionally copy an earlier row
+    with tiny ``dup_noise`` (cosine ≈ 0.999+) so near-dup dedup has real
+    work. Columns: vec_id:int64, embedding:array<float>, cluster:int32,
+    dup_of:int64 (−1 when original)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.empty((n_rows, dim), dtype=np.float64)
+    cluster = np.empty(n_rows, dtype=np.int32)
+    dup_of = np.full(n_rows, -1, dtype=np.int64)
+    for i in range(n_rows):
+        if i > 0 and rng.random() < dup_fraction:
+            j = int(rng.integers(i))
+            v = vecs[j] + rng.normal(0, dup_noise, dim)
+            cluster[i] = cluster[j]
+            dup_of[i] = j
+        else:
+            c = int(rng.integers(n_clusters))
+            v = centers[c] + rng.normal(0, noise, dim)
+            cluster[i] = c
+        vecs[i] = v / np.linalg.norm(v)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n_rows, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "cluster": cluster,
+            "dup_of": dup_of,
+        }
+    )
+
+
 def _convex_hull(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
     """Andrew's monotone chain, CCW output."""
     pts = sorted(set(points))

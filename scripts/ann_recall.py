@@ -1,6 +1,16 @@
-"""ANN quality/speed trade-off on the embeddings table: recall@k of the
-SRP-LSH and IVF scale paths against the exact brute-force baseline, with
-per-variant wall times → BENCH/ann_recall.json."""
+"""ANN quality/speed trade-off: recall@k of the SRP-LSH and IVF scale paths
+against the exact brute-force baseline, with per-variant wall times →
+BENCH/ann_recall.json.
+
+Measured on TWO corpora:
+ - ``uniform``: the driver's near-uniform testdata embeddings — an
+   adversarial floor (no locality hash can beat exhaustive search when all
+   pairwise cosines concentrate; recorded for honesty, not as the target);
+ - ``clustered``: synth.embedding_table — clustered unit vectors with
+   planted near-dups, the regime real embedding corpora live in and the one
+   the recall gate applies to (≥ 0.9 at k=10; also gated in
+   tests/test_scale_features.py::TestANNRecallClustered at small scale).
+"""
 
 from __future__ import annotations
 
@@ -21,17 +31,13 @@ def pairs(rows):
     return {(r.query_id, r.neighbor_id) for r in rows}
 
 
-def main():
+def measure(spark, emb, tag: str) -> dict:
     from pyspark.sql import functions as F
 
     from dsm2dtm_spark.operators import simsearch as S
-    from dsm2dtm_spark.session import get_spark
 
-    spark = get_spark("ann-recall", cores=32)
-    spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).repartition(32).cache()
+    emb = emb.repartition(32).cache()
     n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr("vec_id AS query_id", "embedding").cache()
     queries.count()
 
@@ -42,18 +48,38 @@ def main():
         return rows, round(time.time() - t0, 2)
 
     exact, t_exact = timed(lambda: S.brute_force_topk(emb, queries, k=K))
-    lsh, t_lsh = timed(lambda: S.lsh_topk(emb, queries, k=K, dim=dim, n_planes=8))
-    ivf, t_ivf = timed(lambda: S.ivf_topk(emb, queries, k=K, dim=dim, n_centroids=16, nprobe=4))
+    lsh, t_lsh = timed(lambda: S.lsh_topk(emb, queries, k=K, n_planes=8, n_tables=16))
+    ivf, t_ivf = timed(lambda: S.ivf_topk(emb, queries, k=K, n_centroids=16, nprobe=4))
 
     e = pairs(exact)
-    result = {
-        "corpus": n,
-        "dim": dim,
+    emb.unpersist()
+    queries.unpersist()
+    return {
+        "corpus": tag,
+        "rows": n,
         "k": K,
         "n_queries": N_QUERIES,
         "exact_sec": t_exact,
-        "lsh": {"sec": t_lsh, "recall": round(len(e & pairs(lsh)) / len(e), 3)},
-        "ivf_nprobe4_of16": {"sec": t_ivf, "recall": round(len(e & pairs(ivf)) / len(e), 3)},
+        "lsh_p8_t16": {"sec": t_lsh, "recall": round(len(e & pairs(lsh)) / len(e), 3)},
+        "ivf_c16_p4": {"sec": t_ivf, "recall": round(len(e & pairs(ivf)) / len(e), 3)},
+    }
+
+
+def main():
+    from dsm2dtm_spark import synth
+    from dsm2dtm_spark.session import get_spark
+
+    spark = get_spark("ann-recall", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    uniform = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    clustered_pdf = synth.embedding_table(5000, dim=64, n_clusters=40, noise=0.05, dup_fraction=0.05)
+    clustered = spark.createDataFrame(clustered_pdf[["vec_id", "embedding"]])
+
+    result = {
+        "uniform_testdata": measure(spark, uniform, "uniform"),
+        "clustered_fixture": measure(spark, clustered, "clustered"),
+        "gate": "recall >= 0.9 at k=10 on the clustered fixture",
     }
     print(json.dumps(result))
     with open(os.path.join(ROOT, "BENCH", "ann_recall.json"), "w") as f:

@@ -90,3 +90,30 @@ class TestIVF:
         a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
         recall = len(e & a) / len(e)
         assert recall >= 0.5  # nprobe=4/8 lists on random data
+
+
+class TestANNRecallClustered:
+    """Recall gate on the CLUSTERED fixture (VERDICT round 1: recall measured
+    on near-uniform vectors proves nothing — no locality hash can work
+    there). Real embedding corpora are clustered; on synth.embedding_table
+    both scale paths must reach recall ≥ 0.9 at k=10."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        from dsm2dtm_spark import synth
+
+        pdf = synth.embedding_table(400, dim=32, n_clusters=15, noise=0.05, dup_fraction=0.05, seed=9)
+        sdf = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        queries = sdf.filter("vec_id < 25").selectExpr("vec_id as query_id", "embedding")
+        exact = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(sdf, queries, k=10).collect()}
+        return sdf, queries, exact
+
+    def test_lsh_recall_clustered(self, spark, clustered):
+        sdf, queries, exact = clustered
+        got = {(r.query_id, r.neighbor_id) for r in S.lsh_topk(sdf, queries, k=10).collect()}
+        assert len(exact & got) / len(exact) >= 0.9
+
+    def test_ivf_recall_clustered(self, spark, clustered):
+        sdf, queries, exact = clustered
+        got = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(sdf, queries, k=10).collect()}
+        assert len(exact & got) / len(exact) >= 0.9
