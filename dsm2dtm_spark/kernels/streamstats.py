@@ -4,7 +4,8 @@ The tiled pipeline needs two whole-image scalars before any tile can be
 processed (SURVEY.md §7.2 item 3): the global valid minimum and the exact
 median terrain slope. The straightforward pass-1 decodes the full image in
 one task (memory ∝ pixels). This module computes BOTH exactly from row-block
-chunks of a raw_f32 payload, so pass-1 memory is O(block + in-bucket values):
+chunks of the encoded payload, so pass-1 memory is O(block + in-bucket
+values):
 
 - valid min: running minimum over blocks;
 - exact median slope: two-pass selection — pass A histograms the gradient
@@ -12,6 +13,12 @@ chunks of a raw_f32 payload, so pass-1 memory is O(block + in-bucket values):
   need only that) and locates the bucket(s) holding the middle order
   statistics; pass B re-streams and keeps only values assigned to those
   buckets, then selects exactly.
+
+Two block sources: ``raw_f32`` slices a zero-copy buffer view; ``png16``
+re-inflates the IDAT stream scanline-by-scanline per pass (PNG rows are
+zlib-sequential, so chunked decode costs extra CPU per pass but never holds
+more than a block of rows). Both produce bit-identical rows to the full
+decoder.
 
 Matches ``golden.terrain_slope`` exactly on the standard path (res ≥ 0.5 m,
 no decimation — the tiled plan's domain; float32 arithmetic mirrored
@@ -22,20 +29,123 @@ row-block per task is too big.
 
 from __future__ import annotations
 
+import struct
+import zlib
+from collections.abc import Callable, Iterator
+
 import numpy as np
 
 from dsm2dtm_spark.params import PMF_BASE_SLOPE
 
+# (y0, y1, lo, block) where block covers rows [lo, hi) with hi ≥ y1 — the
+# core rows [y0, y1) plus a one-row halo on each interior side
+Block = tuple[int, int, int, np.ndarray]
+BlockSource = Callable[[], Iterator[Block]]
 
-def _block_mags(arr: np.ndarray, h: int, w: int, res: float, nodata: float, block_rows: int):
+CHUNKED_FORMATS = ("raw_f32", "png16")
+
+
+def raw_f32_block_source(buf: bytes, h: int, w: int, block_rows: int) -> BlockSource:
+    arr = np.frombuffer(buf, dtype="<f4", count=h * w)  # zero-copy view
+
+    def gen() -> Iterator[Block]:
+        for y0 in range(0, h, block_rows):
+            y1 = min(h, y0 + block_rows)
+            lo = max(0, y0 - 1)
+            hi = min(h, y1 + 1)
+            yield y0, y1, lo, arr[lo * w : hi * w].reshape(hi - lo, w)
+
+    return gen
+
+
+def _png16_rows(data: bytes, h: int, w: int) -> Iterator[np.ndarray]:
+    """Stream decoded float32 rows of a png16 payload one scanline at a time
+    (incremental zlib inflate + filter-0/2 unfilter + dequantize), without
+    ever materializing the whole image. Row values are bit-identical to
+    ``codecs.decode_png16`` (same float64→float32 dequantize per row)."""
+    from dsm2dtm_spark import codecs
+
+    if data[: len(codecs._PNG_SIG)] != codecs._PNG_SIG:
+        raise ValueError("not a PNG stream")
+    stride = 1 + 2 * w
+    d = zlib.decompressobj()
+    pending = bytearray()
+    prev = np.zeros(2 * w, dtype=np.uint8)
+    meta: dict[str, float] = {}
+    rows_out = 0
+
+    def drain() -> Iterator[np.ndarray]:
+        nonlocal rows_out, prev
+        while len(pending) >= stride and rows_out < h:
+            line = bytes(pending[:stride])
+            del pending[:stride]
+            ftype = line[0]
+            cur = np.frombuffer(line[1:], dtype=np.uint8).copy()
+            if ftype == 2:  # Up filter (we emit 0; accept 0/2 like the codec)
+                cur = (cur + prev).astype(np.uint8)
+            elif ftype != 0:
+                raise ValueError(f"unsupported PNG filter {ftype}")
+            prev = cur
+            codes = cur.view(">u2").astype(np.uint16)
+            row = ((codes.astype(np.float64) - 1) * meta["scale"] + meta["offset"]).astype(np.float32)
+            row[codes == 0] = meta["nodata"]
+            rows_out += 1
+            yield row
+
+    for tag, payload in codecs._iter_png_chunks(data):
+        if tag == b"IHDR":
+            pw, ph, depth, ctype = struct.unpack_from(">IIBB", payload)
+            if depth != 16 or ctype != 0:
+                raise ValueError("png16 codec only reads 16-bit grayscale")
+            if (ph, pw) != (h, w):
+                raise ValueError(f"PNG dims {(ph, pw)} disagree with row metadata {(h, w)}")
+        elif tag == b"tEXt" and payload.startswith(b"dsm2dtm\x00"):
+            for kv in payload[len(b"dsm2dtm\x00") :].decode().split(";"):
+                k, v = kv.split("=", 1)
+                meta[k] = float(v)
+        elif tag == b"IDAT":
+            pending += d.decompress(payload)
+            yield from drain()
+    pending += d.flush()
+    yield from drain()
+    if rows_out != h:
+        raise ValueError(f"PNG stream ended after {rows_out}/{h} rows")
+
+
+def png16_block_source(data: bytes, h: int, w: int, block_rows: int) -> BlockSource:
+    def gen() -> Iterator[Block]:
+        rows = _png16_rows(data, h, w)
+        window: list[np.ndarray] = []  # rows [win_start, win_start+len(window))
+        win_start = 0
+        next_row = 0
+        for y0 in range(0, h, block_rows):
+            y1 = min(h, y0 + block_rows)
+            lo = max(0, y0 - 1)
+            hi = min(h, y1 + 1)
+            while win_start < lo:  # slide: drop rows below the halo
+                window.pop(0)
+                win_start += 1
+            while next_row < hi:  # extend: pull rows through the halo
+                window.append(next(rows))
+                next_row += 1
+            yield y0, y1, lo, np.stack(window)
+
+    return gen
+
+
+def block_source_for(buf: bytes, h: int, w: int, fmt: str, block_rows: int) -> BlockSource:
+    if fmt == "raw_f32":
+        return raw_f32_block_source(buf, h, w, block_rows)
+    if fmt == "png16":
+        return png16_block_source(buf, h, w, block_rows)
+    raise ValueError(f"no chunked block source for fmt {fmt!r}; known: {CHUNKED_FORMATS}")
+
+
+def _block_mags(source: BlockSource, res: float, nodata: float):
     """Yield, per row-block [y0, y1), the float32 gradient magnitudes /res of
     exactly those rows (computed with a one-row halo so central differences
     match the whole-image np.gradient) and the block's valid mask."""
-    for y0 in range(0, h, block_rows):
-        y1 = min(h, y0 + block_rows)
-        lo = max(0, y0 - 1)
-        hi = min(h, y1 + 1)
-        blk = arr[lo * w : hi * w].reshape(hi - lo, w)
+    for y0, y1, lo, blk in source():
         as_nan = blk.copy()
         as_nan[as_nan == nodata] = np.nan
         dy, dx = np.gradient(as_nan)
@@ -52,29 +162,29 @@ def chunked_min_and_slope(
     nodata: float,
     block_rows: int = 256,
     n_buckets: int = 4096,
+    fmt: str = "raw_f32",
 ) -> tuple[float, float]:
-    """(valid_min, median_slope) from a raw_f32 payload without materializing
-    the full image. Exactly equals (min over valid, golden.terrain_slope) for
-    res ≥ 0.5."""
+    """(valid_min, median_slope) from an encoded payload without
+    materializing the full image. Exactly equals (min over valid,
+    golden.terrain_slope) for res ≥ 0.5."""
     if res < 0.5:
         raise ValueError("chunked stats cover the standard path only (res ≥ 0.5 m)")
-    arr = np.frombuffer(buf, dtype="<f4", count=h * w)  # zero-copy view
+    source = block_source_for(buf, h, w, fmt, block_rows)
 
     # ---- pass 0: valid min, finite-magnitude count and max
     vmin = np.inf
     mag_max = np.float32(0.0)
     n_valid = 0
     n_finite = 0
-    for y0 in range(0, h, block_rows):
-        y1 = min(h, y0 + block_rows)
-        sel = arr[y0 * w : y1 * w]
+    for y0, y1, lo, blk in source():
+        sel = blk[y0 - lo : y0 - lo + (y1 - y0)]
         valid = sel != nodata
         n_valid += int(valid.sum())
         if valid.any():
             vmin = min(vmin, float(sel[valid].min()))
     if n_valid == 0 or h < 2 or w < 2:
         return (float(vmin) if np.isfinite(vmin) else float("nan"), PMF_BASE_SLOPE)
-    for mag, valid in _block_mags(arr, h, w, res, nodata, block_rows):
+    for mag, valid in _block_mags(source, res, nodata):
         finite = mag[valid]
         finite = finite[~np.isnan(finite)]
         n_finite += finite.size
@@ -92,7 +202,7 @@ def chunked_min_and_slope(
         return np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_buckets - 1)
 
     counts = np.zeros(n_buckets, dtype=np.int64)
-    for mag, valid in _block_mags(arr, h, w, res, nodata, block_rows):
+    for mag, valid in _block_mags(source, res, nodata):
         finite = mag[valid]
         finite = finite[~np.isnan(finite)]
         if finite.size:
@@ -102,7 +212,7 @@ def chunked_min_and_slope(
 
     # ---- pass B: gather exactly the in-bucket values, select exactly
     keep = []
-    for mag, valid in _block_mags(arr, h, w, res, nodata, block_rows):
+    for mag, valid in _block_mags(source, res, nodata):
         finite = mag[valid]
         finite = finite[~np.isnan(finite)]
         if finite.size:

@@ -147,13 +147,14 @@ def image_stats(images: DataFrame, radius_m: float | None, slope: float | None, 
     """Pass 1: per-image global scalars. Cheap relative to pass 3 (decode +
     one gradient/median), and the only stage that must see whole images.
 
-    ``chunked=True`` streams raw_f32 payloads in row blocks through the
+    ``chunked=True`` streams raw_f32/png16 payloads in row blocks through the
     bounded-memory exact (min, median-slope) kernel
     (kernels.streamstats) — identical results, memory O(block) instead of
-    O(image), for rasters beyond single-task decode budgets."""
+    O(image), for rasters beyond single-task decode budgets (png16 rows are
+    zlib-sequential, so each pass re-inflates scanline-by-scanline)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from dsm2dtm_spark.kernels.streamstats import chunked_min_and_slope
+        from dsm2dtm_spark.kernels.streamstats import CHUNKED_FORMATS, chunked_min_and_slope
 
         for pdf in batches:
             out = {k: [] for k in STATS_SCHEMA.fieldNames()}
@@ -164,9 +165,11 @@ def image_stats(images: DataFrame, radius_m: float | None, slope: float | None, 
                         f"{row.image_id}: cell_size {cell_size} routes to the coarse path, "
                         "which is whole-image by construction — use the whole-image plan"
                     )
-                if chunked and row.fmt == "raw_f32":
+                if chunked and row.fmt in CHUNKED_FORMATS:
                     h, w = int(row.h), int(row.w)
-                    mn, s_auto = chunked_min_and_slope(row.bytes, h, w, cell_size, NODATA_DEFAULT)
+                    mn, s_auto = chunked_min_and_slope(
+                        row.bytes, h, w, cell_size, NODATA_DEFAULT, fmt=row.fmt
+                    )
                     s = slope if slope is not None else s_auto
                     max_dim = max(h, w)
                     p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)

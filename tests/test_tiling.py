@@ -178,11 +178,43 @@ class TestImageStats:
 
 
 class TestChunkedStats:
-    def test_chunked_equals_whole_image_stats(self, spark):
+    @pytest.mark.parametrize("fmt", ["raw_f32", "png16"])
+    def test_chunked_equals_whole_image_stats(self, spark, fmt):
         pdf = big_image_pdf()
+        if fmt != "raw_f32":  # re-encode the same grids in the target codec
+            pdf = pdf.copy()
+            pdf["bytes"] = [
+                codecs.encode(codecs.decode(b, h, w, "raw_f32"), fmt)
+                for b, h, w in zip(pdf.bytes, pdf.h, pdf.w)
+            ]
+            pdf["fmt"] = fmt
         sdf = spark.createDataFrame(pdf)
         a = {r.image_id: r for r in tiling.image_stats(sdf, RADIUS, None).collect()}
         b = {r.image_id: r for r in tiling.image_stats(sdf, RADIUS, None, chunked=True).collect()}
         assert a.keys() == b.keys()
         for k in a:
             assert a[k] == b[k], k
+
+    def test_png16_row_stream_matches_full_decoder(self):
+        import numpy as np
+
+        from dsm2dtm_spark.kernels import streamstats
+
+        rng = np.random.default_rng(3)
+        g = (100.0 + rng.normal(0, 5, (97, 53))).astype(np.float32)  # odd dims
+        g[10:20, 5:9] = NODATA_DEFAULT
+        data = codecs.encode_png16(g)
+        want = codecs.decode_png16(data, 97, 53)
+        got = np.stack(list(streamstats._png16_rows(data, 97, 53)))
+        np.testing.assert_array_equal(got, want)
+        # block source re-iterates identically with interior one-row halos
+        for block_rows in (1, 7, 64, 200):
+            src = streamstats.png16_block_source(data, 97, 53, block_rows)
+            for _ in range(2):  # a source must be restartable (multi-pass)
+                seen = []
+                for y0, y1, lo, blk in src():
+                    hi = lo + blk.shape[0]
+                    assert lo == max(0, y0 - 1) and hi == min(97, y1 + 1)
+                    np.testing.assert_array_equal(blk, want[lo:hi])
+                    seen.append((y0, y1))
+                assert seen[0][0] == 0 and seen[-1][1] == 97
