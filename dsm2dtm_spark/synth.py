@@ -210,6 +210,55 @@ def knn_query_table(n_rows: int, seed: int = 44, k: int = 4) -> pd.DataFrame:
     )
 
 
+def _smooth_terrain(rng: np.random.Generator, n: int, coarse: int, amplitude: float) -> np.ndarray:
+    """Low-frequency terrain: a coarse seeded random grid bilinearly upsampled
+    to n×n (kernels.zoom — smooth by construction, no libm dependence)."""
+    from dsm2dtm_spark.kernels.zoom import zoom_bilinear
+
+    base = rng.normal(0, amplitude, (coarse, coarse)).astype(np.float32)
+    return zoom_bilinear(base, n / coarse)[:n, :n]
+
+
+TRUTH_SCENARIOS = ("urban_1m", "river_50cm", "vegetation_50cm")
+
+
+def make_truth_scene(scenario: str, seed: int = 31) -> tuple[np.ndarray, np.ndarray, float]:
+    """(true_terrain, dsm, res_m) pairs with a KNOWN ground truth — synthetic
+    stand-ins for the reference's three pooch-downloaded accuracy fixtures
+    (reference tests/test_integration.py:22-31: RMSE < 5.0 m urban @1 m,
+    < 2.0 m river @50 cm, < 8.5 m vegetation @50 cm; unreachable offline,
+    tests/conftest.py:7-9). DSM = truth + above-ground objects; the DTM
+    accuracy test asserts RMSE(dsm_to_dtm(dsm), truth) under the SAME bounds.
+    """
+    rng = np.random.default_rng(seed + hash(scenario) % 1000)
+    if scenario == "urban_1m":
+        n, res = 300, 1.0
+        truth = 100.0 + _smooth_terrain(rng, n, 6, 2.5)
+        dsm = truth.copy()
+        for _ in range(24):  # city blocks: 10-40 m footprints, 6-25 m tall
+            s = int(rng.integers(10, 40))
+            y, x = int(rng.integers(0, n - s)), int(rng.integers(0, n - s))
+            dsm[y : y + s, x : x + s] = truth[y : y + s, x : x + s].max() + float(rng.uniform(6, 25))
+    elif scenario == "river_50cm":
+        n, res = 400, 0.5
+        truth = 50.0 + _smooth_terrain(rng, n, 5, 1.5)
+        xx = np.arange(n, dtype=np.float32)
+        channel = 3.0 * np.exp(-((xx - n / 2) ** 2) / (2 * (n / 10) ** 2))  # valley
+        truth = truth - channel[None, :]
+        dsm = truth.copy()
+        bank_veg = rng.random((n, n)) < 0.06  # sparse riparian vegetation
+        dsm[bank_veg] += rng.uniform(1.0, 4.0, int(bank_veg.sum())).astype(np.float32)
+    elif scenario == "vegetation_50cm":
+        n, res = 400, 0.5
+        truth = 200.0 + _smooth_terrain(rng, n, 6, 3.0)
+        dsm = truth.copy()
+        canopy = _smooth_terrain(rng, n, 12, 1.0) > 0.3  # clumped canopy mask
+        dsm[canopy] += rng.uniform(5.0, 20.0, int(canopy.sum())).astype(np.float32)
+    else:
+        raise ValueError(f"unknown truth scenario {scenario!r}; known: {TRUTH_SCENARIOS}")
+    return truth.astype(np.float32), dsm.astype(np.float32), res
+
+
 def embedding_table(
     n_rows: int,
     dim: int = 64,
