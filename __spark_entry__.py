@@ -466,6 +466,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_jaccard_consecutive"] = docs_jaccard_consecutive
 
+    def docs_dup_clusters(spark, sf):
+        # duplicate CLUSTERS via distributed connected components (min-label
+        # propagation + path halving) over the consecutive-pair jaccard graph
+        # (edges: jaccard(doc, doc+1) >= 0.5). The Spark side is the generic
+        # CC operator; the oracle exploits that this edge set is a chain, so
+        # cluster_id = running max of run-start ids — a pure window in SQL.
+        from dsm2dtm_spark.operators.dedup import connected_components, shingle_expr
+
+        d = _t(spark, sf, "documents").repartition(32)
+        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams"))
+        left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
+        right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
+        jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)
+        edges = left.join(right, on="left_id").select("left_id", "right_id", jac.alias("j")).filter(
+            F.col("j") >= 0.5
+        )
+        return connected_components(d.select("doc_id"), edges, id_col="doc_id")
+
+    q["docs_dup_clusters"] = docs_dup_clusters
+
     def docs_minhash_near_dups(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import minhash_near_dups
 
@@ -871,6 +891,31 @@ def oracle_sql() -> dict[str, str]:
                ROUND(len(list_intersect(a.grams, b.grams))
                      / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """
+
+    o["docs_dup_clusters"] = """
+        WITH sh AS (
+            SELECT d.doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(d.text) - 2, 1)),
+                       i -> substr(lower(d.text), CAST(i AS INTEGER), 3))) AS grams
+            FROM documents d
+        ),
+        j AS (
+            SELECT b.doc_id AS rid,
+                   ROUND(len(list_intersect(a.grams, b.grams))
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jac
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ),
+        starts AS (
+            SELECT d.doc_id,
+                   CASE WHEN COALESCE(j.jac, 0) >= 0.5 THEN NULL ELSE d.doc_id END AS start_id
+            FROM documents d LEFT JOIN j ON j.rid = d.doc_id
+        )
+        SELECT doc_id,
+               CAST(MAX(start_id) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cluster_id
+        FROM starts
     """
 
     o["emb_norm_stats"] = """

@@ -8,7 +8,11 @@ Scale notes (the 100 TB framing):
   signatures by (band, band-hash) so the join is an equi-join, never O(n²);
 - SimHash: 64-bit fingerprint; near-dup = small Hamming distance within
   bucketed prefixes;
-- n-gram Jaccard is the exact verifier applied only to LSH candidates.
+- n-gram Jaccard is the exact verifier applied only to LSH candidates;
+- connected components turns verified near-dup PAIRS into duplicate
+  CLUSTERS (min-id labels) so keep-one-per-cluster policies have a stable
+  deterministic key — min-label propagation with path halving, O(log
+  diameter) rounds of equi-joins.
 """
 
 from __future__ import annotations
@@ -120,6 +124,56 @@ def minhash_near_dups(
     return ngram_jaccard(pairs, "left_text", "right_text").filter(F.col("jaccard") >= threshold).select(
         "left_id", "right_id", "jaccard"
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "left_id",
+    dst_col: str = "right_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation with pointer
+    shortcutting: each round every vertex takes the minimum of its own label
+    and its neighbors' labels, then jumps to its label's label (path halving —
+    convergence in O(log diameter) rounds instead of O(diameter)). Returns
+    (id, cluster_id) where cluster_id = the component's minimum vertex id —
+    deterministic, so duplicate CLUSTERS (not just pairs) are stable keys for
+    keep-one-per-cluster policies.
+
+    Scale shape: each round is two equi-joins + one groupBy min on (edge,
+    label) relations — no vertex ever sees more than its neighborhood, and
+    ``localCheckpoint`` truncates the growing lineage exactly like the kNN
+    ring loop. One small driver action per round checks convergence."""
+    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels.vid == nbr.dst, "left").select(
+            "vid", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
+        )
+        # path halving: label := label(label)
+        parent = stepped.select(F.col("vid").alias("pvid"), F.col("label").alias("plabel"))
+        new = stepped.join(parent, stepped.label == parent.pvid, "left").select(
+            "vid", F.coalesce("plabel", "label").alias("label")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .take(1)
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -185,10 +185,49 @@ def cosine_dedup(
 
 def make_centroids(dim: int, n_centroids: int = 16, seed: int = 13) -> np.ndarray:
     """Deterministic unit-norm coarse-quantizer centroids (IVF without the
-    training pass: seeded random directions; at real scale these would come
-    from a sampled k-means job, which is a drop-in replacement)."""
+    training pass: seeded random directions; ``train_centroids`` is the
+    sampled-k-means drop-in replacement)."""
     c = np.random.default_rng(seed).normal(size=(n_centroids, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means on a bounded sample — the offline index-build step
+    that replaces ``make_centroids`` at real scale. The sample is the ONLY
+    driver-side materialization (capped at ``sample_size`` rows regardless of
+    corpus size); Lloyd iterations run in numpy on the driver, which is the
+    correct cost model for an index build (centroids are KB-scale and later
+    ship to executors as literals/closures). Deterministic given the seed.
+
+    Returns (n_centroids, dim) unit-norm centroids for ``ivf_topk``'s
+    ``centroids=`` parameter."""
+    n = corpus.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+    m = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+            else:  # re-seed an empty list from the worst-served point
+                worst = int(np.argmin(np.max(m @ cents.T, axis=1)))
+                cents[c] = m[worst]
+    return cents
 
 
 def ivf_topk(
@@ -203,6 +242,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     seed: int = 13,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every corpus vector to its nearest
     coarse centroid (inverted lists = partition key), probe the ``nprobe``
@@ -214,9 +254,12 @@ def ivf_topk(
     Centroids regenerate deterministically from (dim, n_centroids, seed)
     inside the Arrow UDF, so the plan needs no driver-side action to learn
     the embedding dimension (``dim`` is accepted for API compatibility but
-    unused)."""
+    unused) — or pass ``centroids=train_centroids(...)`` to use the
+    k-means-trained coarse quantizer from the offline index build."""
     del dim  # derived per batch inside the UDF
-    cache: dict[int, np.ndarray] = {}
+    cache: dict[int, np.ndarray] = {} if centroids is None else {centroids.shape[1]: centroids}
+    if centroids is not None:
+        n_centroids = len(centroids)
 
     def cents_for(d: int) -> np.ndarray:
         if d not in cache:

@@ -117,3 +117,16 @@ class TestANNRecallClustered:
         sdf, queries, exact = clustered
         got = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(sdf, queries, k=10).collect()}
         assert len(exact & got) / len(exact) >= 0.9
+
+    def test_ivf_trained_centroids_no_worse_than_random(self, spark, clustered):
+        """The sampled-k-means index build (train_centroids) is the drop-in
+        replacement for seeded random centroids; on clustered data it must
+        match or beat them at the SAME probe budget."""
+        sdf, queries, exact = clustered
+        trained = S.train_centroids(sdf, n_centroids=16, sample_size=400)
+        assert trained.shape[1] == 32
+        got_t = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(sdf, queries, k=10, centroids=trained).collect()}
+        got_r = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(sdf, queries, k=10).collect()}
+        recall_t = len(exact & got_t) / len(exact)
+        recall_r = len(exact & got_r) / len(exact)
+        assert recall_t >= max(recall_r - 0.02, 0.9), (recall_t, recall_r)

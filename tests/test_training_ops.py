@@ -100,6 +100,35 @@ class TestTextFunctions:
             assert got[doc_id] == h, doc_id
 
 
+class TestConnectedComponents:
+    def test_components_get_min_id_label(self, spark):
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        # chain 1-2-3-4, star 10-{11,12,13}, pair 20-21, singletons 30, 31
+        vertices = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 30, 31]})
+        )
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {"left_id": [1, 2, 3, 10, 10, 10, 21], "right_id": [2, 3, 4, 11, 12, 13, 20]}
+            )
+        )
+        got = {r.id: r.cluster_id for r in connected_components(vertices, edges).collect()}
+        want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 30: 30, 31: 31}
+        assert got == want
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        n = 200  # diameter 199: min-only propagation would need ~200 rounds
+        vertices = spark.createDataFrame(pd.DataFrame({"id": range(n)}))
+        edges = spark.createDataFrame(
+            pd.DataFrame({"left_id": range(n - 1), "right_id": range(1, n)})
+        )
+        got = {r.id: r.cluster_id for r in connected_components(vertices, edges, max_iters=12).collect()}
+        assert got == {i: 0 for i in range(n)}  # path halving: ≤12 rounds suffice
+
+
 class TestSimilaritySearch:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
