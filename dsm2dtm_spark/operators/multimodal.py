@@ -1,17 +1,26 @@
 """Multimodal (image/audio/video) column operators.
 
 Media are opaque ``binary`` columns with typed metadata, exactly like the DSM
-grids; all heavy work happens in Arrow-batched ``mapInPandas`` stages. The
-real media codecs (JPEG/PNG-RGB, PCM/Opus, H.264) are NOT available in this
-environment (no PIL/cv2/ffmpeg — SURVEY.md §7.0), so the decode step is
-stubbed: ``media_decode_stub`` raises ``NotImplementedError`` for real codecs
-and supports a deterministic fake codec ``fake_rgb8`` so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — is real
-and tested end-to-end. Swapping in a real decoder is a one-function change.
+grids; all heavy work happens in Arrow-batched ``mapInPandas`` stages.
+
+Codec status in this environment (no PIL/cv2/ffmpeg — SURVEY.md §7.0):
+- ``png_rgb`` is a REAL codec: a from-scratch stdlib-zlib PNG truecolor
+  decoder (8-bit RGB/RGBA, all five scanline filters — None/Sub/Up/Average/
+  Paeth — per the PNG spec) plus a filter-0 encoder, so any tool's
+  non-interlaced RGB8 PNG decodes here without external libraries.
+- ``fake_rgb8`` is the deterministic raw codec used by the video-frame
+  plumbing tests.
+- JPEG/WebP and the audio/video codecs (PCM/Opus/H.264) remain honestly
+  stubbed behind ``NotImplementedError`` — entropy-coded formats need a
+  library this sandbox doesn't ship; the surrounding Spark plumbing (schema,
+  partitioning, UDF signature, Arrow batch shape) is real and tested, and a
+  decoder drop-in is a one-function change.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,7 +38,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-REAL_CODECS = ("jpeg", "png_rgb", "webp", "pcm16", "opus", "h264")
+STUBBED_CODECS = ("jpeg", "webp", "pcm16", "opus", "h264")
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def fake_rgb8_encode(arr: np.ndarray) -> bytes:
@@ -38,11 +49,109 @@ def fake_rgb8_encode(arr: np.ndarray) -> bytes:
     return arr.tobytes()
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+        ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+    )
+
+
+def encode_png_rgb8(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → a valid truecolor PNG (filter 0, stdlib zlib)."""
+    assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanline(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One PNG scanline filter inversion (spec §9.2). Sub is a per-residue
+    wrapping prefix sum (vectorized); Average/Paeth chain along x, so they
+    run a per-pixel loop — correct on any producer's PNG, and the hot corpus
+    path (our own encoder) always emits filter 0."""
+    if ftype == 0:
+        return cur
+    if ftype == 2:  # Up
+        return (cur + prev).astype(np.uint8)
+    if ftype == 1:  # Sub: out[i] = cur[i] + out[i-bpp] — wrapping cumsum
+        out = cur.copy()
+        for r in range(bpp):
+            np.add.accumulate(out[r::bpp], out=out[r::bpp], dtype=np.uint8)
+        return out
+    out = np.empty_like(cur)
+    n = len(cur)
+    if ftype == 3:  # Average
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            out[i] = (int(cur[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if ftype == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(cur[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"invalid PNG filter type {ftype}")
+
+
+def decode_png_rgb8(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    """Any non-interlaced 8-bit truecolor PNG (color type 2, or 6 with the
+    alpha channel dropped) → uint8 (h, w, 3). Pure stdlib+numpy; handles all
+    five scanline filters, so PNGs written by PIL/libpng/etc decode here."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    idat = b""
+    pw = ph = channels = None
+    pos = len(_PNG_SIG)
+    while pos < len(data):
+        (n,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + n]
+        pos += 12 + n
+        if tag == b"IHDR":
+            pw, ph, depth, ctype, _comp, _filt, interlace = struct.unpack_from(">IIBBBBB", payload)
+            if depth != 8 or ctype not in (2, 6):
+                raise ValueError(f"png_rgb decodes 8-bit truecolor (type 2/6), got depth={depth} type={ctype}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing not supported")
+            channels = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if pw is None:
+        raise ValueError("PNG missing IHDR")
+    if (h is not None and h != ph) or (w is not None and w != pw):
+        raise ValueError(f"PNG dims {(ph, pw)} disagree with row metadata {(h, w)}")
+    raw = zlib.decompress(idat)
+    stride = 1 + channels * pw
+    prev = np.zeros(channels * pw, dtype=np.uint8)
+    rows = []
+    for i in range(ph):
+        line = raw[i * stride : (i + 1) * stride]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).copy()
+        cur = _unfilter_scanline(line[0], cur, prev, channels)
+        prev = cur
+        rows.append(cur.reshape(pw, channels)[:, :3])
+    return np.stack(rows)
+
+
 def media_decode_stub(data: bytes, h: int, w: int, fmt: str) -> np.ndarray:
-    """Decode media bytes → uint8 (h, w, 3). Real codecs are stubbed."""
+    """Decode media bytes → uint8 (h, w, 3). png_rgb and fake_rgb8 are real;
+    entropy-coded formats are stubbed (module docstring)."""
     if fmt == "fake_rgb8":
         return np.frombuffer(data, dtype=np.uint8, count=h * w * 3).reshape(h, w, 3)
-    if fmt in REAL_CODECS:
+    if fmt == "png_rgb":
+        return decode_png_rgb8(data, h, w)
+    if fmt in STUBBED_CODECS:
         raise NotImplementedError(
             f"media codec {fmt!r} requires an image/audio library not present in this "
             "environment; plug a decoder into media_decode_stub (plumbing is codec-agnostic)"
