@@ -123,6 +123,7 @@ def cosine_pairs(
     round_digits: int = 6,
     delta: float = 1e-3,
     max_tables: int = 32,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """All (left_id, right_id, cosine) pairs with cosine ≥ threshold and
     left_id < right_id.
@@ -133,6 +134,15 @@ def cosine_pairs(
     join back AFTER pair dedup, so the shuffle stays narrow at corpus scale.
     Parameters derive from the threshold via ``srp_params_for`` (per-pair
     miss probability ≤ delta at the threshold; tighter above it).
+
+    ``bucket_cap``: skew guard for the self-join — a degenerate bucket of B
+    rows contributes B²/2 candidate pairs, so one hot bucket (near-duplicate
+    floods, zero vectors) can dominate the whole job. With a cap, buckets
+    larger than it are dropped from candidate generation (an anti-join
+    against the few hot bucket ids); a pair inside a dropped bucket is still
+    found through any of the other tables where it lands in a smaller bucket,
+    so recall degrades gracefully instead of the shuffle exploding. None
+    (default) disables the guard.
 
     ``method='exact'``: the O(n²) cross join — the verification oracle for
     small fixtures and the DuckDB twin.
@@ -146,6 +156,9 @@ def cosine_pairs(
         n_planes, n_tables = srp_params_for(threshold, delta=delta, max_tables=max_tables)
         bk = srp_buckets_udf(n_planes, n_tables)
         hashed = ids_v.select("_id", F.explode(bk(F.col("_v"))).alias("bucket"))
+        if bucket_cap is not None:
+            hot = hashed.groupBy("bucket").count().filter(F.col("count") > bucket_cap).select("bucket")
+            hashed = hashed.join(F.broadcast(hot), on="bucket", how="left_anti")
         cand = (
             hashed.select(F.col("bucket"), F.col("_id").alias("left_id"))
             .join(hashed.select(F.col("bucket"), F.col("_id").alias("right_id")), on="bucket")

@@ -74,6 +74,28 @@ class TestStatefulDedup:
         out2 = streaming_phash_dedup(spark, str(d), ck, outd).collect()
         assert {r.image_id for r in out2} == {r.image_id for r in out1}
 
+    def test_sink_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between the sink write and
+        the checkpoint commit replays the batch. The batch_id-keyed overwrite
+        sink must absorb the replay without duplicating rows — simulate by
+        writing the same (df, batch_id) twice."""
+        import os
+        import pandas as pd
+
+        outd = str(tmp_path / "sink_out")
+        pdf = pd.DataFrame({"phash": [1, 2], "image_id": ["a", "b"], "caption": ["x", "y"]})
+        df = spark.createDataFrame(pdf)
+
+        def sink(batch_df, batch_id: int):  # mirror of the operators' sinks
+            batch_df.write.mode("overwrite").parquet(os.path.join(outd, f"batch_id={batch_id}"))
+
+        sink(df, 0)
+        sink(df, 0)  # replay of the SAME micro-batch
+        sink(df, 1)  # a genuinely new batch still appends
+        got = spark.read.parquet(outd)
+        assert got.count() == 4  # 2 rows x 2 batches, not 2 x 3 writes
+        assert got.filter("batch_id = 0").count() == 2
+
 
 class TestWindowedWatermark:
     SCHEMA = "ts timestamp, event_type string, value double"

@@ -294,6 +294,23 @@ class TestCosineDedup:
             assert pairs_b == pairs_e, threshold
         assert len(pairs_e) > 0  # the fixture actually plants dups
 
+    def test_bucket_cap_drops_hot_buckets_gracefully(self, spark):
+        """Skew guard: a flood of identical vectors makes every bucket of
+        every table hot; with a cap those buckets are dropped (no pairs — the
+        documented trade), while distinct-cluster corpora are unaffected."""
+        from dsm2dtm_spark import synth
+
+        flood = pd.DataFrame({"vec_id": range(50), "embedding": [[1.0, 0.0, 0.0, 0.0]] * 50})
+        sflood = spark.createDataFrame(flood)
+        capped = S.cosine_pairs(sflood, 0.9, bucket_cap=10).count()
+        uncapped = S.cosine_pairs(sflood, 0.9).count()
+        assert uncapped == 50 * 49 // 2 and capped == 0
+        pdf = synth.embedding_table(200, dim=16, n_clusters=10, dup_fraction=0.1, seed=3)
+        sdf = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        with_cap = {(r.left_id, r.right_id) for r in S.cosine_pairs(sdf, 0.95, bucket_cap=150).collect()}
+        without = {(r.left_id, r.right_id) for r in S.cosine_pairs(sdf, 0.95).collect()}
+        assert with_cap == without  # healthy buckets: guard is a no-op
+
     def test_bucketed_plan_has_no_cartesian(self, spark):
         pdf = pd.DataFrame({"vec_id": range(8), "embedding": [[float(i), 1.0] for i in range(8)]})
         sdf = spark.createDataFrame(pdf)
