@@ -91,6 +91,7 @@ STATS_SCHEMA = StructType(
         StructField("final_sigma", DoubleType()),
         StructField("gap_dist_px", DoubleType()),
         StructField("halo_px", IntegerType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -143,7 +144,13 @@ def tile_center_lonlat(
     return lon, lat
 
 
-def image_stats(images: DataFrame, radius_m: float | None, slope: float | None, chunked: bool = False) -> DataFrame:
+def image_stats(
+    images: DataFrame,
+    radius_m: float | None,
+    slope: float | None,
+    chunked: bool = False,
+    permissive: bool = False,
+) -> DataFrame:
     """Pass 1: per-image global scalars. Cheap relative to pass 3 (decode +
     one gradient/median), and the only stage that must see whole images.
 
@@ -151,59 +158,64 @@ def image_stats(images: DataFrame, radius_m: float | None, slope: float | None, 
     bounded-memory exact (min, median-slope) kernel
     (kernels.streamstats) — identical results, memory O(block) instead of
     O(image), for rasters beyond single-task decode budgets (png16 rows are
-    zlib-sequential, so each pass re-inflates scanline-by-scanline)."""
+    zlib-sequential, so each pass re-inflates scanline-by-scanline).
+
+    ``permissive=True``: a poison payload yields a stats row with ``error``
+    set and null scalars instead of killing the job; downstream tile stages
+    see only error-free rows (pass 1 is the single place original bytes are
+    first decoded, so the quarantine decision is made exactly once)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dsm2dtm_spark.kernels.streamstats import CHUNKED_FORMATS, chunked_min_and_slope
 
-        for pdf in batches:
-            out = {k: [] for k in STATS_SCHEMA.fieldNames()}
-            for row in pdf.itertuples(index=False):
-                cell_size = max((abs(row.xres_m) + abs(row.yres_m)) / 2.0, 0.001)
-                if cell_size < MIN_PROCESS_RES_M * 0.9:
-                    raise ValueError(
-                        f"{row.image_id}: cell_size {cell_size} routes to the coarse path, "
-                        "which is whole-image by construction — use the whole-image plan"
-                    )
-                if chunked and row.fmt in CHUNKED_FORMATS:
-                    h, w = int(row.h), int(row.w)
-                    mn, s_auto = chunked_min_and_slope(
-                        row.bytes, h, w, cell_size, NODATA_DEFAULT, fmt=row.fmt
-                    )
-                    s = slope if slope is not None else s_auto
-                    max_dim = max(h, w)
-                    p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)
-                    if radius_m is not None:
-                        apply_radius_override(p, radius_m, cell_size, max_dim)
-                    out["image_id"].append(row.image_id)
-                    out["min_valid"].append(mn)
-                    out["slope_used"].append(float(s))
-                    out["cell_size"].append(cell_size)
-                    out["init_window"].append(p.init_window)
-                    out["max_window"].append(p.max_window)
-                    out["refine_sigma"].append(p.refine_sigma)
-                    out["final_sigma"].append(p.final_sigma)
-                    out["gap_dist_px"].append(p.gap_dist_px)
-                    out["halo_px"].append(total_influence_px(p))
-                    continue
-                grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+        def one(row) -> dict:
+            cell_size = max((abs(row.xres_m) + abs(row.yres_m)) / 2.0, 0.001)
+            if cell_size < MIN_PROCESS_RES_M * 0.9:
+                raise ValueError(
+                    f"{row.image_id}: cell_size {cell_size} routes to the coarse path, "
+                    "which is whole-image by construction — use the whole-image plan"
+                )
+            h, w = int(row.h), int(row.w)
+            if chunked and row.fmt in CHUNKED_FORMATS:
+                mn, s_auto = chunked_min_and_slope(row.bytes, h, w, cell_size, NODATA_DEFAULT, fmt=row.fmt)
+                s = slope if slope is not None else s_auto
+                max_dim = max(h, w)
+            else:
+                grid = codecs.decode(row.bytes, h, w, row.fmt)
+                valid = grid != NODATA_DEFAULT
+                mn = float(grid[valid].min()) if valid.any() else float("nan")
                 s = slope if slope is not None else golden.terrain_slope(grid, cell_size, NODATA_DEFAULT)
                 max_dim = max(grid.shape)
-                p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)
-                if radius_m is not None:
-                    apply_radius_override(p, radius_m, cell_size, max_dim)
-                valid = grid != NODATA_DEFAULT
-                out["image_id"].append(row.image_id)
-                out["min_valid"].append(float(grid[valid].min()) if valid.any() else float("nan"))
-                out["slope_used"].append(float(s))
-                out["cell_size"].append(cell_size)
-                out["init_window"].append(p.init_window)
-                out["max_window"].append(p.max_window)
-                out["refine_sigma"].append(p.refine_sigma)
-                out["final_sigma"].append(p.final_sigma)
-                out["gap_dist_px"].append(p.gap_dist_px)
-                out["halo_px"].append(total_influence_px(p))
-            yield pd.DataFrame(out)
+            p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)
+            if radius_m is not None:
+                apply_radius_override(p, radius_m, cell_size, max_dim)
+            return {
+                "image_id": row.image_id,
+                "min_valid": mn,
+                "slope_used": float(s),
+                "cell_size": cell_size,
+                "init_window": p.init_window,
+                "max_window": p.max_window,
+                "refine_sigma": p.refine_sigma,
+                "final_sigma": p.final_sigma,
+                "gap_dist_px": p.gap_dist_px,
+                "halo_px": total_influence_px(p),
+                "error": None,
+            }
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    rows.append(one(row))
+                except Exception as exc:  # noqa: BLE001 — quarantined, not swallowed
+                    if not permissive:
+                        raise
+                    rows.append(
+                        {k: None for k in STATS_SCHEMA.fieldNames()}
+                        | {"image_id": row.image_id, "error": f"{type(exc).__name__}: {exc}"[:500]}
+                    )
+            yield pd.DataFrame(rows, columns=STATS_SCHEMA.fieldNames())
 
     return images.mapInPandas(stats, STATS_SCHEMA)
 
@@ -357,6 +369,7 @@ def tiled_dtm_transform(
     init_threshold: float = PMF_INIT_THRESHOLD,
     max_threshold: float = PMF_MAX_THRESHOLD,
     route_coarse: bool = True,
+    permissive: bool = False,
 ) -> DataFrame:
     """Full tiled plan: stats → tiles → salted shuffle → process → stitch.
 
@@ -365,7 +378,13 @@ def tiled_dtm_transform(
     ``route_coarse`` they are split off by a metadata predicate and run
     through the whole-image plan inside the same job, so a mixed-resolution
     table processes end-to-end in one call. Outputs stay bit-exact on both
-    branches (the union is by name on the common stitched schema)."""
+    branches (the union is by name on the common stitched schema).
+
+    ``permissive=True``: poison payloads don't kill the job — pass 1
+    quarantines them (see ``image_stats``) and they come back as rows with
+    null ``bytes`` and the exception in an extra ``error`` column (null for
+    clean rows; the whole-image branch quarantines the same way). At 10^12
+    rows a corrupt raster is a certainty, not an edge case."""
     if route_coarse:
         cell_size = F.greatest(
             (F.abs(F.col("xres_m")) + F.abs(F.col("yres_m"))) / 2.0, F.lit(0.001)
@@ -373,24 +392,41 @@ def tiled_dtm_transform(
         is_coarse = cell_size < MIN_PROCESS_RES_M * 0.9
         coarse_rows = images.filter(is_coarse)
         images = images.filter(~is_coarse)
-    stats = image_stats(images, radius_m, slope)
+    stats = image_stats(images, radius_m, slope, permissive=permissive)
+    good_stats = stats.filter(F.col("error").isNull()) if permissive else stats
     tiles = emit_tiles(
-        images.join(F.broadcast(stats.select("image_id", "halo_px")), on="image_id", how="inner"),
+        images.join(F.broadcast(good_stats.select("image_id", "halo_px")), on="image_id", how="inner"),
         tile_px,
         cell_res,
     )
-    processed = process_tiles(tiles, stats, init_threshold=init_threshold, max_threshold=max_threshold)
+    processed = process_tiles(tiles, good_stats, init_threshold=init_threshold, max_threshold=max_threshold)
     out = stitch(processed)
+    if permissive:
+        out = out.withColumn("error", F.lit(None).cast("string"))
+        quarantined = images.join(
+            stats.filter(F.col("error").isNotNull()).select("image_id", "error"), on="image_id"
+        ).select(
+            "image_id",
+            F.lit(None).cast("binary").alias("bytes"),
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "error",
+        )
+        out = out.unionByName(quarantined)
     if route_coarse:
         from dsm2dtm_spark.plans import dtm_transform
 
+        cols = list(STITCHED_SCHEMA.fieldNames()) + (["error"] if permissive else [])
         coarse_out = dtm_transform(
             coarse_rows,
             radius_m=radius_m,
             slope=slope,
             init_threshold=init_threshold,
             max_threshold=max_threshold,
-        ).select(*STITCHED_SCHEMA.fieldNames())
+            permissive=permissive,
+        ).select(*cols)
         out = out.unionByName(coarse_out)
     return out
 

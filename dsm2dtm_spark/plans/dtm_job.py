@@ -156,6 +156,7 @@ def run_dtm_job(
     slope=None,
     init_threshold: float = PMF_INIT_THRESHOLD,
     max_threshold: float = PMF_MAX_THRESHOLD,
+    permissive: bool = False,
 ):
     """End-to-end: snapshot scan → resume anti-join → transform → snapshot
     commit. Returns (n_processed, snapshot). Rerunning after a partial commit
@@ -171,7 +172,12 @@ def run_dtm_job(
     if n == 0:
         return 0, output_table.current_snapshot()
     result = dtm_transform(
-        todo, radius_m=radius_m, slope=slope, init_threshold=init_threshold, max_threshold=max_threshold
+        todo,
+        radius_m=radius_m,
+        slope=slope,
+        init_threshold=init_threshold,
+        max_threshold=max_threshold,
+        permissive=permissive,
     )
     snap = output_table.write_dataframe(result, summary={"rows": n, "op": "dtm"})
     return n, snap

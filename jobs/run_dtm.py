@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--init-threshold", type=float, default=0.1)
     ap.add_argument("--max-threshold", type=float, default=20.0)
     ap.add_argument("--tiled", action="store_true", help="use the tiled+halo plan (big rasters)")
+    ap.add_argument(
+        "--permissive",
+        action="store_true",
+        help="quarantine poison rows (null bytes + error column) instead of failing the job",
+    )
     ap.add_argument("--tile-px", type=int, default=1024)
     ap.add_argument("--cores", type=int, default=None, help="local-mode core count (ignored under a cluster master)")
     args = ap.parse_args()
@@ -57,6 +62,7 @@ def main():
                     slope=args.slope,
                     init_threshold=args.init_threshold,
                     max_threshold=args.max_threshold,
+                    permissive=args.permissive,
                 ),
                 summary={"rows": n, "op": "dtm-tiled"},
             )
@@ -72,6 +78,7 @@ def main():
             slope=args.slope,
             init_threshold=args.init_threshold,
             max_threshold=args.max_threshold,
+            permissive=args.permissive,
         )
 
     print(json.dumps({"processed": n, "snapshot": snap.snapshot_id if snap else None}))

@@ -157,6 +157,29 @@ class TestCoarseRouting:
         assert not np.array_equal(want, default)  # thresholds actually bite
 
 
+class TestTiledPermissive:
+    def test_poison_row_quarantined_good_rows_exact(self, spark):
+        std = big_image_pdf().iloc[:2].copy()
+        poison = std.iloc[:1].copy()
+        poison["image_id"] = "poison_row"
+        poison["bytes"] = [b"\x00" * 16]  # truncated payload: decode must fail
+        mixed = pd.concat([std, poison], ignore_index=True)
+        sdf = spark.createDataFrame(mixed)
+        with pytest.raises(Exception):  # default: poison kills the job
+            tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS).collect()
+        rows = {r.image_id: r for r in
+                tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS, permissive=True).collect()}
+        assert set(rows) == set(mixed.image_id)
+        bad = rows["poison_row"]
+        assert bad.bytes is None and bad.error  # exception recorded, payload nulled
+        for row in std.itertuples(index=False):
+            r = rows[row.image_id]
+            assert r.error is None
+            grid = codecs.decode(row.bytes, row.h, row.w, row.fmt)
+            want = golden.dsm_to_dtm(grid, (row.xres_m, row.yres_m), radius_m=RADIUS)
+            np.testing.assert_array_equal(codecs.decode(bytes(r.bytes), r.h, r.w, r.fmt), want)
+
+
 class TestImageStats:
     def test_stats_match_golden_params(self, spark):
         pdf = big_image_pdf().iloc[:1]
