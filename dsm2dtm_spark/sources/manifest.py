@@ -9,24 +9,86 @@ listing immutable parquet data files — and reads/writes it through plain
 Layout:
     <root>/data/<uuid>.parquet      immutable data files
     <root>/meta/snapshot-<n>.json   {"snapshot_id", "parent_id", "files",
-                                     "operation", "summary"}
+                                     "operation", "summary", "stats"}
     <root>/meta/CURRENT             text pointer to the current snapshot file
 
 Commit protocol: write the new snapshot JSON to a temp name, ``os.replace``
 it into place, then ``os.replace`` the CURRENT pointer — atomic on POSIX, so
 readers always see a complete snapshot (exactly-once resume depends on this;
 SURVEY.md §7.2 item 5).
+
+Iceberg-style file skipping: every commit records per-file column min/max
+(harvested from the parquet FOOTERS the writer already produced — no data
+scan), and ``read(where=...)`` prunes non-matching files from the scan
+BEFORE Spark lists them. At warehouse scale this is the difference between
+touching 40 files and 40,000; the residual predicate is still applied, so
+pruning is purely an optimization, never a semantics change. ``compact``
+folds small files into target-sized ones as a new snapshot (time travel to
+pre-compaction snapshots keeps working — old files stay until expired).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_JSONABLE = (int, float, str, bool)
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer (row-group statistics
+    merged; zero data pages read). Columns without clean JSON-able stats
+    (binary payloads, missing stats) are simply absent — absent = unprunable,
+    which is always safe."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    skip: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if name in skip:
+                continue
+            if st is None or not st.has_min_max or not (
+                isinstance(st.min, _JSONABLE) and isinstance(st.max, _JSONABLE)
+            ):
+                skip.add(name)  # one stats-less row group poisons the column
+                out.pop(name, None)
+                continue
+            if name in out:
+                out[name] = [min(out[name][0], st.min), max(out[name][1], st.max)]
+            else:
+                out[name] = [st.min, st.max]
+    return out
+
+
+def _file_survives(stats: dict | None, col: str, op: str, val) -> bool:
+    """Can a file with these footer stats contain a row matching the
+    predicate? Missing stats → must keep (never prune blindly)."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col]
+    if op == "=":
+        return lo <= val <= hi
+    if op == ">=":
+        return hi >= val
+    if op == ">":
+        return hi > val
+    if op == "<=":
+        return lo <= val
+    if op == "<":
+        return lo < val
+    raise ValueError(f"unsupported prune op {op!r} (use =, <, <=, >, >=)")
 
 
 @dataclass
@@ -36,6 +98,7 @@ class Snapshot:
     operation: str
     files: list[str]  # data-file names relative to <root>/data/
     summary: dict
+    stats: dict = field(default_factory=dict)  # file -> {col: [min, max]}
 
 
 class SnapshotTable:
@@ -59,24 +122,52 @@ class SnapshotTable:
             return None
         with open(os.path.join(self.meta_dir, name)) as f:
             d = json.load(f)
-        return Snapshot(d["snapshot_id"], d.get("parent_id"), d["operation"], d["files"], d.get("summary", {}))
+        return self._parse(d)
+
+    @staticmethod
+    def _parse(d: dict) -> Snapshot:
+        return Snapshot(
+            d["snapshot_id"],
+            d.get("parent_id"),
+            d["operation"],
+            d["files"],
+            d.get("summary", {}),
+            d.get("stats", {}),
+        )
 
     def snapshots(self) -> list[Snapshot]:
         out = []
         for name in sorted(os.listdir(self.meta_dir)):
             if name.startswith("snapshot-") and name.endswith(".json"):
                 with open(os.path.join(self.meta_dir, name)) as f:
-                    d = json.load(f)
-                out.append(
-                    Snapshot(d["snapshot_id"], d.get("parent_id"), d["operation"], d["files"], d.get("summary", {}))
-                )
+                    out.append(self._parse(json.load(f)))
+        return out
+
+    def _harvest_stats(self, files: list[str]) -> dict:
+        out = {}
+        for rel in files:
+            try:
+                out[rel] = _file_column_stats(os.path.join(self.data_dir, rel))
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                out[rel] = {}
         return out
 
     def commit(self, new_files: list[str], operation: str = "append", summary: dict | None = None) -> Snapshot:
         cur = self.current_snapshot()
+        base = cur.files if cur and operation == "append" else []
+        return self._commit_file_set(base + new_files, new_files, operation, summary)
+
+    def _commit_file_set(
+        self, files: list[str], new_files: list[str], operation: str, summary: dict | None
+    ) -> Snapshot:
+        """Commit an explicit final file set (compaction needs remove+add in
+        one atomic snapshot). Footer stats are harvested for the new files;
+        surviving files keep theirs."""
+        cur = self.current_snapshot()
         sid = (cur.snapshot_id + 1) if cur else 0
-        files = (cur.files if cur and operation == "append" else []) + new_files
-        snap = Snapshot(sid, cur.snapshot_id if cur else None, operation, files, summary or {})
+        stats = {f: s for f, s in (cur.stats if cur else {}).items() if f in set(files)}
+        stats.update(self._harvest_stats(new_files))
+        snap = Snapshot(sid, cur.snapshot_id if cur else None, operation, files, summary or {}, stats)
         name = f"snapshot-{sid:06d}.json"
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -87,6 +178,7 @@ class SnapshotTable:
                     "operation": operation,
                     "files": files,
                     "summary": snap.summary,
+                    "stats": stats,
                 },
                 f,
                 indent=1,
@@ -100,19 +192,39 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ I/O
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """DataFrame over the committed file set (time travel via snapshot_id).
         Plain parquet scan → Catalyst predicate pushdown / column pruning
         apply untouched; hive-style partition directories (from a
-        ``partition_by`` write) keep partition-pruning via basePath."""
+        ``partition_by`` write) keep partition-pruning via basePath.
+
+        ``where``: optional conjunction of ``(col, op, value)`` predicates
+        (op ∈ =, <, <=, >, >=). Files whose footer min/max provably cannot
+        match are dropped from the scan path list — Iceberg-style file
+        skipping using the manifest's stats — and the SAME predicates are
+        then applied as DataFrame filters, so results are identical to a
+        full scan + filter; only the I/O shrinks."""
         if snapshot_id is None:
             snap = self.current_snapshot()
         else:
             snap = next((s for s in self.snapshots() if s.snapshot_id == snapshot_id), None)
         if snap is None or not snap.files:
             raise ValueError(f"table {self.root} has no committed data (snapshot_id={snapshot_id})")
-        paths = [os.path.join(self.data_dir, f) for f in snap.files]
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        files = snap.files
+        if where:
+            files = [
+                f for f in files if all(_file_survives(snap.stats.get(f), c, op, v) for (c, op, v) in where)
+            ] or snap.files[:1]  # keep one file for schema; filters below yield 0 rows
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        for c, op, v in where or []:
+            df = df.filter(F.col(c) == v if op == "=" else F.expr(f"`{c}` {op} {v!r}"))
+        return df
 
     def write_dataframe(
         self,
@@ -150,6 +262,62 @@ class SnapshotTable:
                     shutil.move(os.path.join(dirpath, fn), os.path.join(self.data_dir, rel))
                     new_files.append(rel)
             return self.commit(new_files, operation, summary)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        small_file_bytes: int = 32 << 20,
+        target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot | None:
+        """Table maintenance: fold small data files into ~target-sized ones
+        as ONE new snapshot (remove+add atomically). Small files are the
+        classic warehouse failure mode — every incremental/streaming commit
+        adds a few, and a year later the scan spends longer listing footers
+        than reading data. Only root-level (non-hive-partitioned) files are
+        compacted; partitioned layouts compact per partition out of scope
+        here. ``sort_by`` optionally clusters rows (e.g. by cell id) during
+        the rewrite so the new footers' min/max become tight and
+        ``read(where=...)`` file skipping gets sharper. Time travel to
+        pre-compaction snapshots keeps working — replaced files stay on disk
+        until ``expire_snapshots`` drops the snapshots that reference them.
+        Returns the new snapshot, or None when there is nothing to do."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return None
+        small = [
+            f
+            for f in cur.files
+            if os.path.dirname(f) in ("", ".")
+            and os.path.getsize(os.path.join(self.data_dir, f)) < small_file_bytes
+        ]
+        if len(small) < 2:
+            return None
+        total = sum(os.path.getsize(os.path.join(self.data_dir, f)) for f in small)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in small])
+        if sort_by:  # range-cluster: tight per-file min/max for file skipping
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out)
+        scratch = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        try:
+            df.write.mode("overwrite").parquet(scratch)
+            new_files = []
+            for fn in sorted(os.listdir(scratch)):
+                if fn.endswith(".parquet"):
+                    rel = f"{uuid.uuid4().hex}.parquet"
+                    shutil.move(os.path.join(scratch, fn), os.path.join(self.data_dir, rel))
+                    new_files.append(rel)
+            survivors = [f for f in cur.files if f not in set(small)]
+            return self._commit_file_set(
+                survivors + new_files,
+                new_files,
+                "compact",
+                {"compacted": len(small), "into": len(new_files)},
+            )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 

@@ -38,3 +38,73 @@ def test_expire_removes_orphans_and_overwritten_files(spark, tmp_path):
     assert "deadbeef.parquet" in deleted
     assert len(deleted) >= 2  # orphan + the pre-overwrite file
     assert t.read(spark).count() == 3
+
+
+class TestFileStatsAndPruning:
+    def test_commit_harvests_footer_stats(self, tmp_path):
+        t = SnapshotTable(str(tmp_path / "s"))
+        t.write_pandas(pd.DataFrame({"k": [10, 20], "name": ["aa", "bb"]}))
+        snap = t.current_snapshot()
+        (f,) = snap.files
+        assert snap.stats[f]["k"] == [10, 20]
+        assert snap.stats[f]["name"] == ["aa", "bb"]
+
+    def test_read_where_skips_files_but_keeps_semantics(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "p"))
+        for lo in (0, 100, 200, 300):  # four files with disjoint k ranges
+            t.write_pandas(pd.DataFrame({"k": range(lo, lo + 50), "v": range(50)}))
+        full = t.read(spark)
+        assert len(full.inputFiles()) == 4
+        pruned = t.read(spark, where=[("k", ">=", 150)])
+        assert len(pruned.inputFiles()) == 2  # files [200,249] and [300,349]
+        want = sorted(r.k for r in full.filter("k >= 150").collect())
+        assert sorted(r.k for r in pruned.collect()) == want
+        # equality predicate: exactly one file survives
+        one = t.read(spark, where=[("k", "=", 111)])
+        assert len(one.inputFiles()) == 1
+        assert [r.k for r in one.collect()] == [111]
+        # predicate matching nothing still returns an empty, well-typed frame
+        none = t.read(spark, where=[("k", ">", 10_000)])
+        assert none.count() == 0 and "k" in none.columns
+
+    def test_string_stats_prune(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "q"))
+        t.write_pandas(pd.DataFrame({"fmt": ["png16"] * 3, "x": [1, 2, 3]}))
+        t.write_pandas(pd.DataFrame({"fmt": ["raw_f32"] * 3, "x": [4, 5, 6]}))
+        pruned = t.read(spark, where=[("fmt", "=", "raw_f32")])
+        assert len(pruned.inputFiles()) == 1
+        assert sorted(r.x for r in pruned.collect()) == [4, 5, 6]
+
+
+class TestCompaction:
+    def test_compact_folds_small_files(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "c"))
+        for i in range(6):
+            t.write_pandas(pd.DataFrame({"k": [i * 10 + j for j in range(5)]}))
+        before = t.current_snapshot()
+        assert len(before.files) == 6
+        snap = t.compact(spark)
+        assert snap.operation == "compact" and len(snap.files) == 1
+        assert sorted(r.k for r in t.read(spark).collect()) == sorted(
+            i * 10 + j for i in range(6) for j in range(5)
+        )
+        # time travel to the pre-compaction snapshot still reads
+        assert t.read(spark, snapshot_id=before.snapshot_id).count() == 30
+        # nothing left to compact
+        assert t.compact(spark) is None
+
+    def test_compact_sort_by_tightens_stats(self, spark, tmp_path):
+        import numpy as np
+
+        t = SnapshotTable(str(tmp_path / "cs"))
+        rng = np.random.default_rng(4)
+        vals = rng.permutation(400)
+        for chunk in np.array_split(vals, 4):  # interleaved ranges: no pruning possible
+            t.write_pandas(pd.DataFrame({"k": chunk}))
+        assert len(t.read(spark, where=[("k", "<", 100)]).inputFiles()) == 4
+        t.compact(spark, target_file_bytes=2000, sort_by=["k"])
+        snap = t.current_snapshot()
+        assert len(snap.files) > 1  # small target → several range-clustered files
+        pruned = t.read(spark, where=[("k", "<", 100)])
+        assert len(pruned.inputFiles()) < len(snap.files)  # skipping now works
+        assert sorted(r.k for r in pruned.collect()) == list(range(100))
