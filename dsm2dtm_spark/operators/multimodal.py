@@ -8,18 +8,23 @@ Codec status in this environment (no PIL/cv2/ffmpeg — SURVEY.md §7.0):
   decoder (8-bit RGB/RGBA, all five scanline filters — None/Sub/Up/Average/
   Paeth — per the PNG spec) plus a filter-0 encoder, so any tool's
   non-interlaced RGB8 PNG decodes here without external libraries.
+- ``wav_pcm16`` is a REAL audio codec (stdlib ``wave``): standard PCM16 WAV
+  files decode to int16 sample arrays, with an encoder for round trips;
+  ``audio_features`` extracts duration/RMS/zero-crossings/peak per row.
 - ``fake_rgb8`` is the deterministic raw codec used by the video-frame
   plumbing tests.
-- JPEG/WebP and the audio/video codecs (PCM/Opus/H.264) remain honestly
-  stubbed behind ``NotImplementedError`` — entropy-coded formats need a
-  library this sandbox doesn't ship; the surrounding Spark plumbing (schema,
-  partitioning, UDF signature, Arrow batch shape) is real and tested, and a
-  decoder drop-in is a one-function change.
+- JPEG/WebP and the compressed audio/video codecs (Opus/H.264) remain
+  honestly stubbed behind ``NotImplementedError`` — entropy-coded formats
+  need a library this sandbox doesn't ship; the surrounding Spark plumbing
+  (schema, partitioning, UDF signature, Arrow batch shape) is real and
+  tested, and a decoder drop-in is a one-function change.
 """
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -38,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-STUBBED_CODECS = ("jpeg", "webp", "pcm16", "opus", "h264")
+STUBBED_CODECS = ("jpeg", "webp", "opus", "h264")
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -142,6 +147,68 @@ def decode_png_rgb8(data: bytes, h: int | None = None, w: int | None = None) -> 
         prev = cur
         rows.append(cur.reshape(pw, channels)[:, :3])
     return np.stack(rows)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, channels) → a standard PCM16 WAV container."""
+    assert samples.dtype == np.int16
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.ascontiguousarray(samples).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """Any standard PCM16 WAV → (int16 array (n, channels), sample_rate).
+    Pure stdlib ``wave`` — third-party WAV files decode without ffmpeg."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"wav_pcm16 reads 16-bit PCM, got {8 * wf.getsampwidth()}-bit")
+        n, ch, rate = wf.getnframes(), wf.getnchannels(), wf.getframerate()
+        samples = np.frombuffer(wf.readframes(n), dtype="<i2").reshape(n, ch)
+    return samples, rate
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossing_rate", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio quality/filtering features per row (media_id, bytes) of PCM16
+    WAV payloads: duration, RMS level, peak, zero-crossing rate (a crude
+    voiced/noise discriminator) — the signals a pretraining-audio pipeline
+    filters on. Arrow-batched ``mapInPandas``, numpy-vectorized per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURE_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                samples, rate = decode_wav_pcm16(row.bytes)
+                mono = samples.astype(np.float64).mean(axis=1)
+                out["media_id"].append(row.media_id)
+                out["duration_s"].append(round(len(samples) / rate, 6))
+                out["sample_rate"].append(rate)
+                out["channels"].append(samples.shape[1])
+                out["rms"].append(round(float(np.sqrt(np.mean(mono**2))), 4) if len(mono) else 0.0)
+                out["peak"].append(int(np.abs(samples).max()) if len(samples) else 0)
+                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+                out["zero_crossing_rate"].append(round(zc, 4))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def media_decode_stub(data: bytes, h: int, w: int, fmt: str) -> np.ndarray:

@@ -229,6 +229,23 @@ class TestMultimodal:
             )
             np.testing.assert_array_equal(M.decode_png_rgb8(data), img, err_msg=f"filter {ftype}")
 
+    def test_wav_pcm16_roundtrip_and_features(self, spark):
+        rate = 8000
+        t = np.arange(rate, dtype=np.float64) / rate  # 1 s
+        tone = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+        stereo = np.stack([tone, tone // 2], axis=1)
+        data = M.encode_wav_pcm16(stereo, rate)
+        back, got_rate = M.decode_wav_pcm16(data)
+        assert got_rate == rate
+        np.testing.assert_array_equal(back, stereo)
+        df = spark.createDataFrame(pd.DataFrame([{"media_id": "a440", "bytes": data}]))
+        r = M.audio_features(df).collect()[0]
+        assert r.duration_s == 1.0 and r.sample_rate == rate and r.channels == 2
+        assert r.peak == 10000
+        # a 440 Hz tone crosses zero ~880 times/s -> rate-normalized ~0.11
+        assert abs(r.zero_crossing_rate - 880 / rate) < 0.01
+        assert abs(r.rms - 10000 * 0.75 / np.sqrt(2)) / r.rms < 0.02  # mono mix of x and x/2
+
     def test_png_rgb_end_to_end_features(self, spark):
         rng = np.random.default_rng(29)
         rows = []
