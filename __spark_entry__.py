@@ -34,13 +34,19 @@ _CONTRACT_DIR = os.path.join(_REPO, "data", "contract")
 _IMAGES_PQ = os.path.join(_CONTRACT_DIR, "images.parquet")
 _FOOTPRINTS_PQ = os.path.join(_CONTRACT_DIR, "footprints.parquet")
 _KNN_PQ = os.path.join(_CONTRACT_DIR, "knn_queries.parquet")
+_IMG_TABLE = os.path.join(_CONTRACT_DIR, "img_table")
 
 SHIP_CUTOFF = "1995-09-01"
 
 
 def _ensure_contract_tables() -> None:
     """Deterministic synthetic image/footprint/knn parquet (idempotent)."""
-    if os.path.exists(_IMAGES_PQ) and os.path.exists(_FOOTPRINTS_PQ) and os.path.exists(_KNN_PQ):
+    if (
+        os.path.exists(_IMAGES_PQ)
+        and os.path.exists(_FOOTPRINTS_PQ)
+        and os.path.exists(_KNN_PQ)
+        and os.path.exists(os.path.join(_IMG_TABLE, "meta", "CURRENT"))
+    ):
         return
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -52,6 +58,16 @@ def _ensure_contract_tables() -> None:
     pq.write_table(pa.Table.from_pandas(images, preserve_index=False), _IMAGES_PQ)
     pq.write_table(pa.Table.from_pandas(synth.footprint_table(50, seed=43), preserve_index=False), _FOOTPRINTS_PQ)
     pq.write_table(pa.Table.from_pandas(synth.knn_query_table(40, seed=44), preserve_index=False), _KNN_PQ)
+    # snapshot-table twin of the image table, one commit per image width, so
+    # read(where=[('w', ...)]) exercises footer-stats file skipping
+    import shutil
+
+    from dsm2dtm_spark.sources import SnapshotTable
+
+    shutil.rmtree(_IMG_TABLE, ignore_errors=True)  # half-built dir → rebuild
+    t = SnapshotTable(_IMG_TABLE)
+    for w in sorted(images.w.unique()):
+        t.write_pandas(images[images.w == w], summary={"w": int(w)})
 
 
 def _ship_engine(spark: SparkSession) -> None:
@@ -594,6 +610,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_tile_assignments"] = img_tile_assignments
 
+    def img_snapshot_pruned_scan(spark, sf):
+        # Iceberg-style file skipping: the snapshot manifest's footer stats
+        # prune whole files before Spark lists them (one commit per width ⇒
+        # w >= 64 provably skips the w=50 file); the same predicate is
+        # re-applied, so results ≡ full scan + WHERE (the oracle's form)
+        from dsm2dtm_spark.sources import SnapshotTable
+
+        _ensure_contract_tables()
+        _ship_engine(spark)
+        t = SnapshotTable(_IMG_TABLE)
+        df = t.read(spark, where=[("w", ">=", 64)])
+        return df.groupBy("fmt", "w").agg(
+            F.count("*").alias("n"), F.countDistinct("phash").alias("n_phash")
+        )
+
+    q["img_snapshot_pruned_scan"] = img_snapshot_pruned_scan
+
     def img_spatial_join_rect(spark, sf):
         from dsm2dtm_spark.operators.spatial import spatial_join_tiles
 
@@ -1003,6 +1036,11 @@ def oracle_sql() -> dict[str, str]:
             FROM grid2
         )
         SELECT image_id, tile_row, tile_col, {cell14_sql} AS cell_id FROM centers
+    """
+
+    o["img_snapshot_pruned_scan"] = f"""
+        SELECT fmt, w, COUNT(*) AS n, COUNT(DISTINCT phash) AS n_phash
+        FROM {img} WHERE w >= 64 GROUP BY fmt, w
     """
 
     o["img_spatial_join_rect"] = f"""
