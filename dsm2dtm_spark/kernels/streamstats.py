@@ -38,21 +38,21 @@ import numpy as np
 from dsm2dtm_spark.params import PMF_BASE_SLOPE
 
 # (y0, y1, lo, block) where block covers rows [lo, hi) with hi ≥ y1 — the
-# core rows [y0, y1) plus a one-row halo on each interior side
+# core rows [y0, y1) plus a ``halo``-row margin on each interior side
 Block = tuple[int, int, int, np.ndarray]
 BlockSource = Callable[[], Iterator[Block]]
 
 CHUNKED_FORMATS = ("raw_f32", "png16")
 
 
-def raw_f32_block_source(buf: bytes, h: int, w: int, block_rows: int) -> BlockSource:
+def raw_f32_block_source(buf: bytes, h: int, w: int, block_rows: int, halo: int = 1) -> BlockSource:
     arr = np.frombuffer(buf, dtype="<f4", count=h * w)  # zero-copy view
 
     def gen() -> Iterator[Block]:
         for y0 in range(0, h, block_rows):
             y1 = min(h, y0 + block_rows)
-            lo = max(0, y0 - 1)
-            hi = min(h, y1 + 1)
+            lo = max(0, y0 - halo)
+            hi = min(h, y1 + halo)
             yield y0, y1, lo, arr[lo * w : hi * w].reshape(hi - lo, w)
 
     return gen
@@ -112,7 +112,7 @@ def _png16_rows(data: bytes, h: int, w: int) -> Iterator[np.ndarray]:
         raise ValueError(f"PNG stream ended after {rows_out}/{h} rows")
 
 
-def png16_block_source(data: bytes, h: int, w: int, block_rows: int) -> BlockSource:
+def png16_block_source(data: bytes, h: int, w: int, block_rows: int, halo: int = 1) -> BlockSource:
     def gen() -> Iterator[Block]:
         rows = _png16_rows(data, h, w)
         window: list[np.ndarray] = []  # rows [win_start, win_start+len(window))
@@ -120,8 +120,8 @@ def png16_block_source(data: bytes, h: int, w: int, block_rows: int) -> BlockSou
         next_row = 0
         for y0 in range(0, h, block_rows):
             y1 = min(h, y0 + block_rows)
-            lo = max(0, y0 - 1)
-            hi = min(h, y1 + 1)
+            lo = max(0, y0 - halo)
+            hi = min(h, y1 + halo)
             while win_start < lo:  # slide: drop rows below the halo
                 window.pop(0)
                 win_start += 1
@@ -133,11 +133,11 @@ def png16_block_source(data: bytes, h: int, w: int, block_rows: int) -> BlockSou
     return gen
 
 
-def block_source_for(buf: bytes, h: int, w: int, fmt: str, block_rows: int) -> BlockSource:
+def block_source_for(buf: bytes, h: int, w: int, fmt: str, block_rows: int, halo: int = 1) -> BlockSource:
     if fmt == "raw_f32":
-        return raw_f32_block_source(buf, h, w, block_rows)
+        return raw_f32_block_source(buf, h, w, block_rows, halo)
     if fmt == "png16":
-        return png16_block_source(buf, h, w, block_rows)
+        return png16_block_source(buf, h, w, block_rows, halo)
     raise ValueError(f"no chunked block source for fmt {fmt!r}; known: {CHUNKED_FORMATS}")
 
 

@@ -176,7 +176,9 @@ def image_stats(
                     "which is whole-image by construction — use the whole-image plan"
                 )
             h, w = int(row.h), int(row.w)
-            if chunked and row.fmt in CHUNKED_FORMATS:
+            # the streamed kernel covers the no-decimation slope domain
+            # (res ≥ 0.5); rarer sub-0.5 m standard rows decode whole-image
+            if chunked and row.fmt in CHUNKED_FORMATS and cell_size >= 0.5:
                 mn, s_auto = chunked_min_and_slope(row.bytes, h, w, cell_size, NODATA_DEFAULT, fmt=row.fmt)
                 s = slope if slope is not None else s_auto
                 max_dim = max(h, w)
@@ -220,45 +222,75 @@ def image_stats(
     return images.mapInPandas(stats, STATS_SCHEMA)
 
 
-def emit_tiles(images_with_stats: DataFrame, tile_px: int, cell_res: int = DEFAULT_CELL_RES) -> DataFrame:
+def emit_tiles(
+    images_with_stats: DataFrame,
+    tile_px: int,
+    cell_res: int = DEFAULT_CELL_RES,
+    chunked: bool = False,
+) -> DataFrame:
     """Pass 2: cut overlapping tiles. The cut window is the core expanded by
     halo_px, clipped to the image — clipping lands on true image borders where
-    reflect padding is exact."""
+    reflect padding is exact.
+
+    ``chunked=True`` cuts tiles from a SLIDING ROW WINDOW over the encoded
+    payload (the streamstats block sources with halo = halo_px) instead of
+    decoding the whole raster: task memory becomes O((tile_px + 2·halo) × w)
+    rather than O(h × w) — with chunked pass-1 stats this lets a raster far
+    beyond executor memory (10-gigapixel GeoTIFF class) flow through the
+    tiled plan. Output rows are byte-identical to the whole-image cut."""
 
     def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dsm2dtm_spark.kernels.streamstats import CHUNKED_FORMATS, block_source_for
+
         for pdf in batches:
             out = {k: [] for k in TILE_SCHEMA.fieldNames()}
+
+            def add(row, h, w, tr, tc, cy, cx, ch, cw, cut_y, cut_x, cut_arr):
+                lon_c, lat_c = tile_center_lonlat(
+                    row.lon0, row.lat0, row.xres_m, row.yres_m, cx + cw / 2.0, cy + ch / 2.0
+                )
+                cell = int(cellindex.encode_cells(np.array([lon_c]), np.array([lat_c]), cell_res)[0])
+                out["image_id"].append(row.image_id)
+                out["tile_row"].append(tr)
+                out["tile_col"].append(tc)
+                out["cell_id"].append(cell)
+                out["salt"].append(zlib.crc32(f"{row.image_id}/{tr}/{tc}".encode()) % N_SALT)
+                out["core_y"].append(cy)
+                out["core_x"].append(cx)
+                out["core_h"].append(ch)
+                out["core_w"].append(cw)
+                out["cut_y"].append(cut_y)
+                out["cut_x"].append(cut_x)
+                out["cut_h"].append(cut_arr.shape[0])
+                out["cut_w"].append(cut_arr.shape[1])
+                out["payload"].append(codecs.encode_raw_f32(np.ascontiguousarray(cut_arr)))
+                out["fmt"].append(row.fmt)
+                out["caption"].append(row.caption)
+                out["img_h"].append(h)
+                out["img_w"].append(w)
+
             for row in pdf.itertuples(index=False):
                 h, w = int(row.h), int(row.w)
-                grid = codecs.decode(row.bytes, h, w, row.fmt)
                 halo = int(row.halo_px)
+                if chunked and row.fmt in CHUNKED_FORMATS:
+                    src = block_source_for(row.bytes, h, w, row.fmt, block_rows=tile_px, halo=halo)
+                    n_cols = max(1, math.ceil(w / tile_px))
+                    for cy, y1, lo, blk in src():  # one band of tiles per block
+                        tr = cy // tile_px
+                        for tc in range(n_cols):
+                            cx = tc * tile_px
+                            cw = min(tile_px, w - cx)
+                            x0 = max(0, cx - halo)
+                            x1 = min(w, cx + cw + halo)
+                            add(row, h, w, tr, tc, cy, cx, y1 - cy, cw, lo, x0, blk[:, x0:x1])
+                    continue
+                grid = codecs.decode(row.bytes, h, w, row.fmt)
                 for tr, tc, cy, cx, ch, cw in tile_grid(h, w, tile_px):
                     y0 = max(0, cy - halo)
                     x0 = max(0, cx - halo)
                     y1 = min(h, cy + ch + halo)
                     x1 = min(w, cx + cw + halo)
-                    lon_c, lat_c = tile_center_lonlat(
-                        row.lon0, row.lat0, row.xres_m, row.yres_m, cx + cw / 2.0, cy + ch / 2.0
-                    )
-                    cell = int(cellindex.encode_cells(np.array([lon_c]), np.array([lat_c]), cell_res)[0])
-                    out["image_id"].append(row.image_id)
-                    out["tile_row"].append(tr)
-                    out["tile_col"].append(tc)
-                    out["cell_id"].append(cell)
-                    out["salt"].append(zlib.crc32(f"{row.image_id}/{tr}/{tc}".encode()) % N_SALT)
-                    out["core_y"].append(cy)
-                    out["core_x"].append(cx)
-                    out["core_h"].append(ch)
-                    out["core_w"].append(cw)
-                    out["cut_y"].append(y0)
-                    out["cut_x"].append(x0)
-                    out["cut_h"].append(y1 - y0)
-                    out["cut_w"].append(x1 - x0)
-                    out["payload"].append(codecs.encode_raw_f32(grid[y0:y1, x0:x1]))
-                    out["fmt"].append(row.fmt)
-                    out["caption"].append(row.caption)
-                    out["img_h"].append(h)
-                    out["img_w"].append(w)
+                    add(row, h, w, tr, tc, cy, cx, ch, cw, y0, x0, grid[y0:y1, x0:x1])
             yield pd.DataFrame(out)
 
     return images_with_stats.mapInPandas(tiles, TILE_SCHEMA)
@@ -370,8 +402,17 @@ def tiled_dtm_transform(
     max_threshold: float = PMF_MAX_THRESHOLD,
     route_coarse: bool = True,
     permissive: bool = False,
+    chunked: bool = False,
+    output: str = "image",
 ) -> DataFrame:
     """Full tiled plan: stats → tiles → salted shuffle → process → stitch.
+
+    ``chunked=True`` runs BOTH whole-image passes with bounded memory
+    (streamed pass-1 stats + sliding-window tile cutting), so rasters far
+    beyond a task's decode budget flow through; results stay bit-identical.
+    ``output='tiles'`` skips the stitch and returns the processed core tiles
+    as rows — at 10-gigapixel scale the stitched image row itself would be
+    the memory hazard, and real pipelines keep the tiled layout anyway.
 
     Coarse-path rows (cell_size < 0.9·0.45 m) resample with whole-image
     endpoint-aligned coordinates and cannot be tiled exactly; with
@@ -392,14 +433,19 @@ def tiled_dtm_transform(
         is_coarse = cell_size < MIN_PROCESS_RES_M * 0.9
         coarse_rows = images.filter(is_coarse)
         images = images.filter(~is_coarse)
-    stats = image_stats(images, radius_m, slope, permissive=permissive)
+    stats = image_stats(images, radius_m, slope, chunked=chunked, permissive=permissive)
     good_stats = stats.filter(F.col("error").isNull()) if permissive else stats
     tiles = emit_tiles(
         images.join(F.broadcast(good_stats.select("image_id", "halo_px")), on="image_id", how="inner"),
         tile_px,
         cell_res,
+        chunked=chunked,
     )
     processed = process_tiles(tiles, good_stats, init_threshold=init_threshold, max_threshold=max_threshold)
+    if output == "tiles":
+        if permissive or route_coarse:
+            raise ValueError("output='tiles' composes with permissive/route_coarse at the caller")
+        return processed
     out = stitch(processed)
     if permissive:
         out = out.withColumn("error", F.lit(None).cast("string"))

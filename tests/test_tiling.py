@@ -157,6 +157,62 @@ class TestCoarseRouting:
         assert not np.array_equal(want, default)  # thresholds actually bite
 
 
+class TestChunkedTiling:
+    """Bounded-memory tiled plan: sliding-window tile cutting (+ chunked
+    pass-1 stats) must be BYTE-identical to the whole-image-decode plan —
+    this is the path that lets a raster far beyond task memory flow through."""
+
+    @pytest.mark.parametrize("fmt", ["raw_f32", "png16"])
+    def test_chunked_emit_equals_whole_image_emit(self, spark, fmt):
+        pdf = big_image_pdf().iloc[:1].copy()
+        if fmt != "raw_f32":
+            pdf["bytes"] = [
+                codecs.encode(codecs.decode(b, h, w, "raw_f32"), fmt)
+                for b, h, w in zip(pdf.bytes, pdf.h, pdf.w)
+            ]
+            pdf["fmt"] = fmt
+        sdf = spark.createDataFrame(pdf)
+        stats = tiling.image_stats(sdf, RADIUS, None)
+        joined = sdf.join(stats.select("image_id", "halo_px"), on="image_id")
+        key = ["image_id", "tile_row", "tile_col"]
+        a = {tuple(getattr(r, k) for k in key): r for r in tiling.emit_tiles(joined, 128).collect()}
+        b = {tuple(getattr(r, k) for k in key): r for r in tiling.emit_tiles(joined, 128, chunked=True).collect()}
+        assert a.keys() == b.keys() and len(a) == 16
+        for k in a:
+            ra, rb = a[k], b[k]
+            for f in ("cell_id", "salt", "core_y", "core_x", "core_h", "core_w",
+                      "cut_y", "cut_x", "cut_h", "cut_w", "caption"):
+                assert getattr(ra, f) == getattr(rb, f), (k, f)
+            assert bytes(ra.payload) == bytes(rb.payload), k
+
+    def test_chunked_full_plan_bitexact_vs_golden(self, spark):
+        pdf = big_image_pdf().iloc[:2]
+        sdf = spark.createDataFrame(pdf)
+        got = {r.image_id: r for r in
+               tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS, chunked=True).collect()}
+        for row in pdf.itertuples(index=False):
+            grid = codecs.decode(row.bytes, row.h, row.w, row.fmt)
+            want = golden.dsm_to_dtm(grid, (row.xres_m, row.yres_m), radius_m=RADIUS)
+            r = got[row.image_id]
+            np.testing.assert_array_equal(codecs.decode(bytes(r.bytes), r.h, r.w, r.fmt), want)
+
+    def test_output_tiles_skips_stitch(self, spark):
+        pdf = big_image_pdf().iloc[:1]
+        sdf = spark.createDataFrame(pdf)
+        tiles = tiling.tiled_dtm_transform(
+            sdf, tile_px=128, radius_m=RADIUS, output="tiles", route_coarse=False
+        ).collect()
+        assert len(tiles) == 16
+        # reassembled cores ≡ the stitched plan's image
+        canvas = np.full((512, 512), NODATA_DEFAULT, dtype=np.float32)
+        for t in tiles:
+            core = codecs.decode_raw_f32(bytes(t.core_bytes), t.core_h, t.core_w)
+            canvas[t.core_y : t.core_y + t.core_h, t.core_x : t.core_x + t.core_w] = core
+        grid = codecs.decode(pdf.bytes.iloc[0], 512, 512, "raw_f32")
+        want = golden.dsm_to_dtm(grid, (2.0, 2.0), radius_m=RADIUS)
+        np.testing.assert_array_equal(canvas, want)
+
+
 class TestTiledPermissive:
     def test_poison_row_quarantined_good_rows_exact(self, spark):
         std = big_image_pdf().iloc[:2].copy()
