@@ -71,8 +71,29 @@ def _png16_rows(data: bytes, h: int, w: int) -> Iterator[np.ndarray]:
     d = zlib.decompressobj()
     pending = bytearray()
     prev = np.zeros(2 * w, dtype=np.uint8)
-    meta: dict[str, float] = {}
     rows_out = 0
+
+    # header-only pre-scan for IHDR + the dsm2dtm tEXt meta: the spec allows
+    # tEXt AFTER the IDATs, but streaming needs offset/scale/nodata before
+    # the first row — skip payload bytes (no IDAT copies) to find it
+    meta: dict[str, float] = {}
+    pos = len(codecs._PNG_SIG)
+    while pos + 8 <= len(data):
+        (n,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IHDR":
+            pw, ph, depth, ctype = struct.unpack_from(">IIBB", data, pos + 8)
+            if depth != 16 or ctype != 0:
+                raise ValueError("png16 codec only reads 16-bit grayscale")
+            if (ph, pw) != (h, w):
+                raise ValueError(f"PNG dims {(ph, pw)} disagree with row metadata {(h, w)}")
+        elif tag == b"tEXt" and data[pos + 8 : pos + 8 + 8] == b"dsm2dtm\x00":
+            for kv in data[pos + 16 : pos + 8 + n].decode().split(";"):
+                k, v = kv.split("=", 1)
+                meta[k] = float(v)
+        pos += 12 + n
+    if not {"offset", "scale", "nodata"} <= meta.keys():
+        raise ValueError("png16 payload lacks the dsm2dtm tEXt metadata chunk")
 
     def drain() -> Iterator[np.ndarray]:
         nonlocal rows_out, prev
@@ -93,17 +114,7 @@ def _png16_rows(data: bytes, h: int, w: int) -> Iterator[np.ndarray]:
             yield row
 
     for tag, payload in codecs._iter_png_chunks(data):
-        if tag == b"IHDR":
-            pw, ph, depth, ctype = struct.unpack_from(">IIBB", payload)
-            if depth != 16 or ctype != 0:
-                raise ValueError("png16 codec only reads 16-bit grayscale")
-            if (ph, pw) != (h, w):
-                raise ValueError(f"PNG dims {(ph, pw)} disagree with row metadata {(h, w)}")
-        elif tag == b"tEXt" and payload.startswith(b"dsm2dtm\x00"):
-            for kv in payload[len(b"dsm2dtm\x00") :].decode().split(";"):
-                k, v = kv.split("=", 1)
-                meta[k] = float(v)
-        elif tag == b"IDAT":
+        if tag == b"IDAT":
             pending += d.decompress(payload)
             yield from drain()
     pending += d.flush()

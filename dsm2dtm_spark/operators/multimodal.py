@@ -45,19 +45,14 @@ from pyspark.sql.types import (
 
 STUBBED_CODECS = ("jpeg", "webp", "opus", "h264")
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# one PNG container implementation in the tree: codecs.py owns it
+from dsm2dtm_spark.codecs import _PNG_SIG, _iter_png_chunks, _png_chunk  # noqa: E402
 
 
 def fake_rgb8_encode(arr: np.ndarray) -> bytes:
     """Deterministic fake media codec: uint8 HxWx3, raw bytes."""
     assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
     return arr.tobytes()
-
-
-def _png_chunk(tag: bytes, payload: bytes) -> bytes:
-    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
-        ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
-    )
 
 
 def encode_png_rgb8(arr: np.ndarray) -> bytes:
@@ -115,12 +110,7 @@ def decode_png_rgb8(data: bytes, h: int | None = None, w: int | None = None) -> 
         raise ValueError("not a PNG stream")
     idat = b""
     pw = ph = channels = None
-    pos = len(_PNG_SIG)
-    while pos < len(data):
-        (n,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + n]
-        pos += 12 + n
+    for tag, payload in _iter_png_chunks(data):
         if tag == b"IHDR":
             pw, ph, depth, ctype, _comp, _filt, interlace = struct.unpack_from(">IIBBBBB", payload)
             if depth != 8 or ctype not in (2, 6):

@@ -80,6 +80,8 @@ def srp_params_for(threshold: float, delta: float = 1e-3, max_tables: int = 32, 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     if p >= 1.0:
         return max_planes, 1
+    if p <= 0.0:  # threshold −1: every pair qualifies, no hash can prune
+        return 1, max_tables
     for b in range(max_planes, 0, -1):
         pb = p**b
         t = math.ceil(math.log(delta) / math.log(1.0 - pb))
@@ -180,6 +182,7 @@ def cosine_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "bucketed",
+    delta: float = 1e-3,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: a row is dropped when ANY lower-id
     row is cosine-similar above ``threshold`` — including lower-id rows that
@@ -189,7 +192,7 @@ def cosine_dedup(
     bucketed equi-join of ``cosine_pairs`` (engine path — survives corpus
     scale); ``method='exact'`` keeps the O(n²) verification form."""
     dupes = (
-        cosine_pairs(corpus, threshold, id_col, vec_col, method=method)
+        cosine_pairs(corpus, threshold, id_col, vec_col, method=method, delta=delta)
         .select(F.col("right_id").alias("drop_id"))
         .distinct()
     )
@@ -224,6 +227,8 @@ def train_centroids(
     n = corpus.count()
     frac = min(1.0, (sample_size * 1.2) / max(n, 1))
     sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+    if not sample:
+        raise ValueError("train_centroids: corpus is empty (or the sample drew zero rows)")
     m = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -271,10 +276,15 @@ def ivf_topk(
     k-means-trained coarse quantizer from the offline index build."""
     del dim  # derived per batch inside the UDF
     cache: dict[int, np.ndarray] = {} if centroids is None else {centroids.shape[1]: centroids}
+    trained_dim = None if centroids is None else centroids.shape[1]
     if centroids is not None:
         n_centroids = len(centroids)
 
     def cents_for(d: int) -> np.ndarray:
+        if trained_dim is not None and d != trained_dim:
+            raise ValueError(
+                f"trained centroids are {trained_dim}-dim but corpus vectors are {d}-dim"
+            )
         if d not in cache:
             cache[d] = make_centroids(d, n_centroids, seed=seed)
         return cache[d]

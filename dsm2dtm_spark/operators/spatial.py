@@ -157,6 +157,11 @@ def knn_join(
     deg_x = 360.0 / (1 << res)
     deg_y = 180.0 / (1 << res)
     cert_unit = min(deg_x, deg_y)
+    # a ring block covering the whole 2^res × 2^res grid is just the full
+    # join — beyond this radius fall through to the exact crossJoin fallback
+    # instead of materializing ever-larger cell lists (at res 12+ an
+    # uncapped ring would be 10^8 cells per query)
+    max_radius = min(64, (1 << res) // 2 + 1)
 
     pts = points.withColumn("pcell", cellindex.cell_expr(F.col("x"), F.col("y"), res)).select(
         "point_id", F.col("x").alias("px"), F.col("y").alias("py"), "pcell"
@@ -172,7 +177,7 @@ def knn_join(
             area = max((st.x1 - st.x0) * (st.y1 - st.y0), cert_unit**2)
             r_k = math.sqrt(k / (math.pi * (st.n / area)))  # expected k-th NN dist
             # 1.5× margin: the certificate needs kth < R·cert_unit STRICTLY
-            initial_radius = max(1, min(math.ceil(1.5 * r_k / cert_unit), 16))
+            initial_radius = max(1, min(math.ceil(1.5 * r_k / cert_unit), 16, max_radius))
         else:
             initial_radius = 1
 
@@ -187,7 +192,7 @@ def knn_join(
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("point_id").asc())
     remaining = queries.select("query_id", "x", "y")
     settled_parts: list[DataFrame] = []
-    radius = initial_radius
+    radius = min(initial_radius, max_radius)
     for _ in range(max_rounds):
         if not remaining.take(1):
             break
@@ -211,7 +216,9 @@ def knn_join(
         # truncate lineage: without this every round re-executes all prior
         # rounds' joins through the growing anti-join chain
         remaining = remaining.join(certified, on="query_id", how="left_anti").localCheckpoint(eager=True)
-        radius *= 4
+        if radius >= max_radius:  # ring ≈ whole grid: the crossJoin IS the join
+            break
+        radius = min(radius * 4, max_radius)
 
     leftovers = remaining.crossJoin(pts).withColumn(
         "dist", F.sqrt((F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")))

@@ -434,6 +434,10 @@ def tiled_dtm_transform(
         coarse_rows = images.filter(is_coarse)
         images = images.filter(~is_coarse)
     stats = image_stats(images, radius_m, slope, chunked=chunked, permissive=permissive)
+    # pass 1 decodes every raster; it feeds 2-3 plan subtrees (halo join,
+    # process join, quarantine join) that Catalyst would each recompute —
+    # materialize the KB-scale stats rows once so the decode runs once
+    stats = stats.localCheckpoint(eager=True)
     good_stats = stats.filter(F.col("error").isNull()) if permissive else stats
     tiles = emit_tiles(
         images.join(F.broadcast(good_stats.select("image_id", "halo_px")), on="image_id", how="inner"),

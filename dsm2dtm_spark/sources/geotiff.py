@@ -75,8 +75,11 @@ def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None):
                         raise ValueError(f"{path}: dataset has no CRS")
                     grid = src.read(1).astype(np.float32)
                     nodata = src.nodata if src.nodata is not None else NODATA_DEFAULT
-                    if nodata != NODATA_DEFAULT:  # normalize the sentinel
-                        grid = np.where(grid == nodata, np.float32(NODATA_DEFAULT), grid)
+                    # normalize the sentinel; NaN nodata (the common float-
+                    # raster convention) never matches with ==, so mask it
+                    # explicitly — and stray NaNs are nodata either way
+                    mask = np.isnan(grid) if np.isnan(nodata) else (grid == nodata) | np.isnan(grid)
+                    grid = np.where(mask, np.float32(NODATA_DEFAULT), grid)
                     t = src.transform
                     xres = float(np.hypot(t.a, t.b))  # rotation-aware (R26)
                     yres = float(np.hypot(t.d, t.e))

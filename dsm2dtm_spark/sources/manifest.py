@@ -222,8 +222,15 @@ class SnapshotTable:
             ] or snap.files[:1]  # keep one file for schema; filters below yield 0 rows
         paths = [os.path.join(self.data_dir, f) for f in files]
         df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        ops = {
+            "=": lambda col, v: col == v,
+            "<": lambda col, v: col < v,
+            "<=": lambda col, v: col <= v,
+            ">": lambda col, v: col > v,
+            ">=": lambda col, v: col >= v,
+        }
         for c, op, v in where or []:
-            df = df.filter(F.col(c) == v if op == "=" else F.expr(f"`{c}` {op} {v!r}"))
+            df = df.filter(ops[op](F.col(c), F.lit(v)))
         return df
 
     def write_dataframe(

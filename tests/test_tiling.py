@@ -286,6 +286,18 @@ class TestChunkedStats:
         want = codecs.decode_png16(data, 97, 53)
         got = np.stack(list(streamstats._png16_rows(data, 97, 53)))
         np.testing.assert_array_equal(got, want)
+        # chunk order is free per the PNG spec: tEXt AFTER the IDAT must
+        # still stream (the header pre-scan finds the meta either way)
+        chunks = list(codecs._iter_png_chunks(data))
+        reordered = codecs._PNG_SIG + b"".join(
+            codecs._png_chunk(t, p) for t, p in chunks if t != b"tEXt"
+        )
+        text = next(codecs._png_chunk(t, p) for t, p in chunks if t == b"tEXt")
+        head, iend = reordered[:-12], reordered[-12:]
+        reordered = head + text + iend
+        np.testing.assert_array_equal(codecs.decode_png16(reordered, 97, 53), want)
+        got2 = np.stack(list(streamstats._png16_rows(reordered, 97, 53)))
+        np.testing.assert_array_equal(got2, want)
         # block source re-iterates identically with interior one-row halos
         for block_rows in (1, 7, 64, 200):
             src = streamstats.png16_block_source(data, 97, 53, block_rows)
