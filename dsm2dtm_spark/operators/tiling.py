@@ -402,14 +402,17 @@ def tiled_dtm_transform(
     max_threshold: float = PMF_MAX_THRESHOLD,
     route_coarse: bool = True,
     permissive: bool = False,
-    chunked: bool = False,
+    chunked: bool = True,
     output: str = "image",
 ) -> DataFrame:
     """Full tiled plan: stats → tiles → salted shuffle → process → stitch.
 
-    ``chunked=True`` runs BOTH whole-image passes with bounded memory
-    (streamed pass-1 stats + sliding-window tile cutting), so rasters far
-    beyond a task's decode budget flow through; results stay bit-identical.
+    ``chunked`` (default True) runs BOTH whole-image passes with bounded
+    memory (streamed pass-1 stats + sliding-window tile cutting), so rasters
+    far beyond a task's decode budget flow through; results stay
+    bit-identical, and locally it also measures faster than whole-image
+    decode (zero-copy row windows, less allocator churn). Codecs without a
+    streaming source (qz8) and sub-0.5 m rows fall back per-row.
     ``output='tiles'`` skips the stitch and returns the processed core tiles
     as rows — at 10-gigapixel scale the stitched image row itself would be
     the memory hazard, and real pipelines keep the tiled layout anyway.
