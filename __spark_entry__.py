@@ -200,6 +200,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q5_nation_volume"] = q5_nation_volume
 
+    def q17_small_quantity_revenue(spark, sf):
+        # TPC-H Q17 shape: correlated scalar-aggregate subquery — revenue of
+        # lineitems below 20% of their part's average quantity (decorrelated
+        # into an agg + equi-join, which is what a good planner does anyway)
+        li = _t(spark, sf, "lineitem")
+        p = _t(spark, sf, "part").filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+        qlim = li.groupBy("l_partkey").agg(F.round(0.2 * F.avg("l_quantity"), 6).alias("qlim"))
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(qlim, on="l_partkey")
+            .filter(F.col("l_quantity") < F.col("qlim"))
+            .agg(
+                F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    q["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+
+    def q18_large_volume_orders(spark, sf):
+        # TPC-H Q18 shape: HAVING over a grouped sum gates which orders join
+        # back to customers (top-N large-volume buyers)
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        big = li.groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("total_qty")).filter(
+            F.col("total_qty") > 120
+        )
+        return (
+            big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "total_qty")
+            .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+            .limit(20)
+        )
+
+    q["q18_large_volume_orders"] = q18_large_volume_orders
+
     def broadcast_region_customers(spark, sf):
         n = _t(spark, sf, "nation")
         r = _t(spark, sf, "region")
@@ -708,6 +746,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_nationkey = s_nationkey
         GROUP BY r_name, n_name
+    """
+
+    o["q17_small_quantity_revenue"] = """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 6) AS qlim
+              FROM lineitem GROUP BY l_partkey) q USING (l_partkey)
+        WHERE p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity < qlim
+    """
+
+    o["q18_large_volume_orders"] = """
+        SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS price, total_qty FROM (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 120
+        ) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 20
     """
 
     o["broadcast_region_customers"] = """
