@@ -47,6 +47,39 @@ def ensure_data():
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), DATA, row_group_size=4)
 
 
+TILED_DATA = os.path.join(ROOT, "data", "bench_scaling", "big_images.parquet")
+
+
+def ensure_tiled_data():
+    if os.path.exists(TILED_DATA):
+        return
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dsm2dtm_spark import codecs
+
+    rng = np.random.default_rng(8765)
+    rows = []
+    n = 2048
+    for i in range(48):
+        yy, xx = np.mgrid[0:n, 0:n]
+        g = (100.0 + 0.02 * yy + 0.01 * xx + rng.normal(0, 0.2, (n, n))).astype(np.float32)
+        for _ in range(6):
+            y, x, s = rng.integers(0, n - 200), rng.integers(0, n - 200), int(rng.integers(40, 180))
+            g[y : y + s, x : x + s] += float(rng.uniform(6, 18))
+        rows.append(
+            {
+                "image_id": f"sbig_{i:02d}", "bytes": codecs.encode_raw_f32(g), "w": n, "h": n,
+                "fmt": "raw_f32", "caption": f"scaling big {i}", "phash": codecs.ahash64(g),
+                "lon0": 2.0 + i * 0.5, "lat0": 36.0, "xres_m": 2.0, "yres_m": 2.0, "crs": 32631,
+            }
+        )
+    os.makedirs(os.path.dirname(TILED_DATA), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), TILED_DATA, row_group_size=1)
+
+
 def measure(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -71,7 +104,30 @@ def measure(cores: int) -> dict:
         return time.time() - t0, agg
 
     run()  # warmup: JVM codegen + python worker pool spin-up
-    wall, agg = run()
+    # min-of-3: this shared VM's steal adds 2-3x spikes to any single run
+    # (measured: the same plan 3.5-38 s within minutes); the minimum is the
+    # machine-capability number an efficiency ratio needs. Raw runs recorded.
+    walls = []
+    for _ in range(3):
+        wall, agg = run()
+        walls.append(round(wall, 2))
+    wall = min(walls)
+
+    # tiled (halo-shuffle) path: the salted repartition is the one wide
+    # shuffle — its scaling is the engine's distributed story, so it gets its
+    # own efficiency datapoint. Needs enough tiles (48 rasters → 768 tiles)
+    # that per-stage fixed overhead doesn't drown the measurement.
+    from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
+
+    ensure_tiled_data()
+    big = spark.read.parquet(TILED_DATA)
+    tiled_dtm_transform(big.limit(1), tile_px=512, radius_m=15.0).count()  # warm
+    tiled_walls = []
+    for _ in range(3):  # min-of-3, same rationale as above
+        t0 = time.time()
+        tiled_dtm_transform(big, tile_px=512, radius_m=15.0).count()
+        tiled_walls.append(round(time.time() - t0, 2))
+    tiled_wall = min(tiled_walls)
     spark.stop()
     return {
         "cores": cores,
@@ -81,6 +137,9 @@ def measure(cores: int) -> dict:
         "mpix": round(agg.pixels / 1e6, 1),
         "tiles_per_sec": round(agg.tiles / wall, 2),
         "mpix_per_sec": round(agg.pixels / wall / 1e6, 3),
+        "raw_runs_sec": walls,
+        "tiled_sec": round(tiled_wall, 2),
+        "tiled_raw_runs_sec": tiled_walls,
     }
 
 
@@ -118,6 +177,8 @@ def main():
         "runs": {"local2": r2, "local8": r8, "local32": r32},
         "efficiency_2_to_8": round((r2["sec"] / r8["sec"]) / 4.0, 3),
         "efficiency_8_to_32": round((r8["sec"] / r32["sec"]) / 4.0, 3),
+        "tiled_efficiency_2_to_8": round((r2["tiled_sec"] / r8["tiled_sec"]) / 4.0, 3),
+        "tiled_efficiency_8_to_32": round((r8["tiled_sec"] / r32["tiled_sec"]) / 4.0, 3),
         "hardware_ceiling_context": {
             "alu_tasks_per_sec": {"p8": micro(_alu, 8), "p32": micro(_alu, 32)},
             "memstream_tasks_per_sec": {"p8": micro(_mem, 8), "p32": micro(_mem, 32)},
