@@ -11,6 +11,10 @@ Codec status in this environment (no PIL/cv2/ffmpeg — SURVEY.md §7.0):
 - ``wav_pcm16`` is a REAL audio codec (stdlib ``wave``): standard PCM16 WAV
   files decode to int16 sample arrays, with an encoder for round trips;
   ``audio_features`` extracts duration/RMS/zero-crossings/peak per row.
+- ``avi_dib`` is a REAL video container path (stdlib ``struct`` RIFF walk):
+  uncompressed-DIB AVI files demux to RGB frame arrays, with an encoder for
+  round trips; ``avi_frame_sample`` samples every n-th frame from real
+  containers.
 - ``fake_rgb8`` is the deterministic raw codec used by the video-frame
   plumbing tests.
 - JPEG/WebP and the compressed audio/video codecs (Opus/H.264) remain
@@ -199,6 +203,106 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def encode_avi_dib(frames: np.ndarray, fps: int = 25) -> bytes:
+    """uint8 (n_frames, h, w, 3) RGB → a standard uncompressed AVI (RIFF)
+    container with a 'DIB ' video stream (bottom-up BGR rows, 4-byte-aligned,
+    one '00db' chunk per frame + idx1 index) — playable by mainstream
+    players, parseable by any AVI demuxer."""
+    assert frames.dtype == np.uint8 and frames.ndim == 4 and frames.shape[3] == 3
+    nf, h, w = frames.shape[:3]
+    row_bytes = (w * 3 + 3) & ~3  # BMP rows pad to 4 bytes
+    frame_bytes = row_bytes * h
+
+    def lst(tag4: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + tag4 + body
+
+    def chunk(tag4: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag4 + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, nf, 0, 1, frame_bytes, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, nf,
+                       frame_bytes, 0, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)  # BITMAPINFOHEADER
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    offsets = []
+    for i in range(nf):
+        bgr = frames[i, ::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        rows = b"".join(bgr[y].tobytes().ljust(row_bytes, b"\x00") for y in range(h))
+        offsets.append(len(movi_body))
+        movi_body += chunk(b"00db", rows)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+
+    idx1 = b"".join(
+        b"00db" + struct.pack("<III", 0x10, off, frame_bytes) for off in offsets
+    )
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_dib(data: bytes) -> np.ndarray:
+    """Any uncompressed-DIB AVI → uint8 (n_frames, h, w, 3) RGB. Pure
+    stdlib struct walk of the RIFF tree ('00db' frame chunks inside the
+    'movi' LIST; dimensions from the BITMAPINFOHEADER)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) stream")
+    w = h = bpp = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal w, h, bpp
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (n,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + n)  # skip the list type tag
+            elif tag == b"strf" and n >= 40:
+                _, bw, bh, _, bits = struct.unpack_from("<IiiHH", buf, body_start)
+                w, h, bpp = bw, abs(bh), bits
+            elif tag in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame chunk before BITMAPINFOHEADER")
+                if bpp != 24:
+                    raise NotImplementedError(f"only 24-bit DIB AVI is supported, got {bpp}")
+                row_bytes = (w * 3 + 3) & ~3
+                raw = np.frombuffer(buf, dtype=np.uint8, count=h * row_bytes, offset=body_start)
+                rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+                frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR → RGB
+            pos = body_start + n + (n & 1)  # chunks pad to even length
+
+    walk(data, 12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("AVI stream contains no video frames")
+    return np.stack(frames)
+
+
+def avi_frame_sample(df: DataFrame, every_n: int) -> DataFrame:
+    """Video frame sampling over REAL containers: rows are (media_id, bytes)
+    of uncompressed-DIB AVI payloads; emits every ``every_n``-th frame as a
+    fake_rgb8 row (same downstream schema as ``frame_sample``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                frames = decode_avi_dib(row.bytes)
+                for i in range(0, len(frames), every_n):
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(i)
+                    out["bytes"].append(fake_rgb8_encode(np.ascontiguousarray(frames[i])))
+                    out["h"].append(frames.shape[1])
+                    out["w"].append(frames.shape[2])
+                    out["fmt"].append("fake_rgb8")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
 
 
 def media_decode_stub(data: bytes, h: int, w: int, fmt: str) -> np.ndarray:

@@ -259,6 +259,18 @@ class TestMultimodal:
             want = [round(float(x), 4) for x in img.reshape(-1, 3).mean(axis=0)]
             assert out[mid].mean_rgb == want
 
+    def test_avi_dib_roundtrip_and_frame_sample(self, spark):
+        rng = np.random.default_rng(41)
+        frames = rng.integers(0, 256, (9, 10, 7, 3), dtype=np.uint8)  # odd width: row padding
+        data = M.encode_avi_dib(frames, fps=10)
+        np.testing.assert_array_equal(M.decode_avi_dib(data), frames)
+        df = spark.createDataFrame(pd.DataFrame([{"media_id": "v1", "bytes": data}]))
+        out = sorted(M.avi_frame_sample(df, every_n=4).collect(), key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in out] == [0, 4, 8]
+        for r in out:
+            got = M.media_decode_stub(bytes(r.bytes), r.h, r.w, "fake_rgb8")
+            np.testing.assert_array_equal(got, frames[r.frame_idx])
+
     def test_frame_sample(self, spark):
         img = np.zeros((4, 4, 3), dtype=np.uint8)
         frames = b"".join(M.fake_rgb8_encode(img + i) for i in range(10))
