@@ -436,6 +436,13 @@ def tiled_dtm_transform(
         is_coarse = cell_size < MIN_PROCESS_RES_M * 0.9
         coarse_rows = images.filter(is_coarse)
         images = images.filter(~is_coarse)
+    # big rows pack few per input split (maxPartitionBytes), capping pass-1/2
+    # parallelism far below the cluster (48×16 MB rows → ~12 tasks on 32
+    # cores); compute ≫ scan here exactly like dtm_transform, so repartition
+    # up — the byte shuffle is cheap insurance against idle executors
+    min_par = 2 * images.sparkSession.sparkContext.defaultParallelism
+    if images.rdd.getNumPartitions() < min_par:
+        images = images.repartition(min_par)
     stats = image_stats(images, radius_m, slope, chunked=chunked, permissive=permissive)
     # pass 1 decodes every raster; it feeds 2-3 plan subtrees (halo join,
     # process join, quarantine join) that Catalyst would each recompute —
