@@ -460,6 +460,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionization"] = events_sessionization
 
+    def events_tumbling_windows(spark, sf):
+        # the streaming operator's batch form (same plan shape; the stream
+        # adds only the watermark) under the oracle gate: 10-min tumbling
+        # windows align to epoch 0, which DuckDB replays as floor(epoch/600)
+        from dsm2dtm_spark.streaming.windowed import windowed_event_counts
+
+        ev = _t(spark, sf, "events")
+        return windowed_event_counts(ev, window_len="10 minutes")
+
+    q["events_tumbling_windows"] = events_tumbling_windows
+
     def exact_distinct_users(spark, sf):
         ev = _t(spark, sf, "events")
         return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
@@ -637,6 +648,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return img.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("image_id", "phash")
 
     q["img_phash_dedup"] = img_phash_dedup
+
+    def img_phash_hamming_pairs(spark, sf):
+        # exact near-dup pairs by perceptual hash: pigeonhole-banded
+        # equi-join (recall 1 by construction for dist < n_bands) + one
+        # bit_count(xor) verify — the corpus-scale image-dedup shape; the
+        # oracle is the all-pairs form
+        from dsm2dtm_spark.operators.dedup import hamming_near_dup_pairs
+
+        img = _images(spark)
+        return hamming_near_dup_pairs(img, max_dist=3, id_col="image_id", hash_col="phash")
+
+    q["img_phash_hamming_pairs"] = img_phash_hamming_pairs
 
     def img_cell_ids(spark, sf):
         img = _images(spark)
@@ -923,6 +946,13 @@ def oracle_sql() -> dict[str, str]:
         FROM per_session GROUP BY user_id
     """
 
+    o["events_tumbling_windows"] = """
+        SELECT strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 600) AS BIGINT) * 600),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
     o["exact_distinct_users"] = """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
     """
@@ -1073,6 +1103,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, phash, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY image_id ASC) AS rn
             FROM {img}
         ) WHERE rn = 1
+    """
+
+    o["img_phash_hamming_pairs"] = f"""
+        SELECT a.image_id AS left_id, b.image_id AS right_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM {img} a JOIN {img} b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
     """
 
     o["img_cell_ids"] = f"SELECT image_id, {cell_encode_sql('lon0', 'lat0', 12)} AS cell_id FROM {img}"

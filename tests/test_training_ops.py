@@ -100,6 +100,34 @@ class TestTextFunctions:
             assert got[doc_id] == h, doc_id
 
 
+class TestHammingNearDups:
+    def test_matches_brute_force_and_is_exact(self, spark):
+        from dsm2dtm_spark.operators.dedup import hamming_near_dup_pairs
+
+        rng = np.random.default_rng(13)
+        hashes = rng.integers(-(2**63), 2**63, 120, dtype=np.int64)
+        hashes[50] = hashes[10] ^ 0b101  # planted: hamming 2
+        hashes[80] = hashes[10] ^ np.int64(-(2**63)) ^ np.int64(1) ^ np.int64(1 << 31)  # hamming 3 (incl. sign bit)
+        pdf = pd.DataFrame({"image_id": [f"i{k:03d}" for k in range(120)], "phash": hashes})
+        sdf = spark.createDataFrame(pdf)
+        got = {(r.left_id, r.right_id, r.hamming)
+               for r in hamming_near_dup_pairs(sdf, max_dist=3).collect()}
+        want = set()
+        for a in range(120):
+            for b in range(a + 1, 120):
+                d = bin((int(hashes[a]) ^ int(hashes[b])) & (2**64 - 1)).count("1")
+                if d <= 3:
+                    want.add((f"i{a:03d}", f"i{b:03d}", d))
+        assert got == want and {("i010", "i050", 2), ("i010", "i080", 3)} <= got
+
+    def test_pigeonhole_precondition_enforced(self, spark):
+        from dsm2dtm_spark.operators.dedup import hamming_near_dup_pairs
+
+        sdf = spark.createDataFrame(pd.DataFrame({"image_id": ["a"], "phash": [1]}))
+        with pytest.raises(ValueError, match="pigeonhole"):
+            hamming_near_dup_pairs(sdf, max_dist=4, n_bands=4)
+
+
 class TestConnectedComponents:
     def test_components_get_min_id_label(self, spark):
         from dsm2dtm_spark.operators.dedup import connected_components
