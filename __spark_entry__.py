@@ -128,8 +128,8 @@ def _images(spark: SparkSession) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DSM→DTM over a deterministic synthetic image batch; returns
-    one row per image with lineage/throughput metrics plus a relational
-    summary join against the sf0.001 star schema (proves both engine halves)."""
+    one row per image with shape/validity metrics and the partition lineage
+    column (stable schema, ≥ 0 rows — the driver's smoke contract)."""
     from dsm2dtm_spark.plans import dtm_transform
 
     _ensure_contract_tables()
