@@ -460,6 +460,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionization"] = events_sessionization
 
+    def events_value_band_join(spark, sf):
+        # interval join (non-equi) via the binned equi-join operator: a plain
+        # `v >= lo AND v < hi` predicate would plan as a nested-loop join;
+        # range_join quantizes the axis so candidates come from an equi-join
+        # on bin id (overlapping bands prove multi-membership works)
+        from dsm2dtm_spark.operators.rangejoin import range_join
+
+        ev = _t(spark, sf, "events").select("event_id", "value")
+        bands = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "band": [f"b{k}" for k in range(10)],
+                    "lo": [k * 40.0 for k in range(10)],
+                    "hi": [k * 40.0 + 60.0 for k in range(10)],
+                }
+            )
+        )
+        return (
+            range_join(ev, bands, "value", "lo", "hi", bin_size=40.0)
+            .groupBy("band")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        )
+
+    q["events_value_band_join"] = events_value_band_join
+
     def events_tumbling_windows(spark, sf):
         # the streaming operator's batch form (same plan shape; the stream
         # adds only the watermark) under the oracle gate: 10-min tumbling
@@ -944,6 +969,14 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, MAX(n_events) AS longest_session
         FROM per_session GROUP BY user_id
+    """
+
+    band_values = ", ".join(f"('b{k}', {k * 40.0}, {k * 40.0 + 60.0})" for k in range(10))
+    o["events_value_band_join"] = f"""
+        WITH bands(band, lo, hi) AS (VALUES {band_values})
+        SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
     """
 
     o["events_tumbling_windows"] = """
