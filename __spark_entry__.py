@@ -546,7 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dsm2dtm_spark.operators.dedup import shingle_expr
 
         # shingle each doc ONCE, then join pairs on the precomputed arrays
-        d = _t(spark, sf, "documents").repartition(32)  # single-file input: spread the shingle work
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)  # single-file input: spread the shingle work
         sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams"))
         left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
         right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
@@ -564,7 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster_id = running max of run-start ids — a pure window in SQL.
         from dsm2dtm_spark.operators.dedup import connected_components, shingle_expr
 
-        d = _t(spark, sf, "documents").repartition(32)
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams"))
         left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
         right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
@@ -579,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_minhash_near_dups(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import minhash_near_dups
 
-        d = _t(spark, sf, "documents").repartition(32)
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         return minhash_near_dups(d, threshold=0.6)
 
     q["docs_minhash_near_dups"] = docs_minhash_near_dups
@@ -587,7 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_simhash(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import simhash64
 
-        d = _t(spark, sf, "documents").repartition(32)
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         return simhash64(d)
 
     q["docs_simhash"] = docs_simhash

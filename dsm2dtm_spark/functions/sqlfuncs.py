@@ -36,12 +36,16 @@ def register_sql_functions(spark: SparkSession, res_levels: tuple[int, ...] = DE
         )
         created.append(name)
 
-    # ancestor cell: drop 2 Morton bits per level, reattach the new res tag
+    # ancestor cell: drop 2 Morton bits per level, reattach the new res tag.
+    # Guard: parent_res above the cell's own res would make the shift count
+    # negative, which Java masks to 6 bits (garbage ids, silently diverging
+    # from the numpy twin, which raises) — return NULL instead.
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION cell_parent(cell_id BIGINT, parent_res INT) "
         "RETURNS BIGINT RETURN "
+        "CASE WHEN parent_res > CAST(cell_id & 31 AS INT) THEN NULL ELSE "
         "shiftleft(shiftright(shiftright(cell_id, 5), CAST(2 * ((cell_id & 31) - parent_res) AS INT)), 5) "
-        "| CAST(parent_res AS BIGINT)"
+        "| CAST(parent_res AS BIGINT) END"
     )
     created.append("cell_parent")
 

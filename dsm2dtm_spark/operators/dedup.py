@@ -72,14 +72,34 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` values, bucket by (band, hash(band slice)), self-join
     buckets → distinct candidate pairs (left id < right id). Equi-join only —
-    the candidate step never goes quadratic in table size."""
-    b = signatures.select(
-        id_col,
+    the candidate step never goes quadratic in table size.
+
+    Skew guards (web crawls are duplicate floods, so these matter at scale):
+    identical signatures are collapsed to one representative before the
+    banded self-join — B exact copies of a document contribute ONE row to
+    every bucket instead of B (which would be B²/2 candidate rows in EVERY
+    band) — and re-expand afterwards through output-sized equi-joins, so the
+    candidate set is unchanged (recall 1 for the collapse). ``bucket_cap``
+    additionally drops (band, bucket) groups holding more than that many
+    DISTINCT signatures from candidate generation (broadcast anti-join, same
+    guard as simsearch.cosine_pairs); pairs in a dropped bucket can still
+    collide in other bands, so recall degrades gracefully instead of the
+    shuffle exploding. None (default) disables the cap."""
+    reps = signatures.groupBy("signature").agg(F.min(id_col).alias("_rep"))
+    members = signatures.join(reps, on="signature").select(
+        F.col(id_col).alias("_mid"), F.col("_rep")
+    )
+    b = reps.select(
+        "_rep",
         F.explode(
             F.array(
                 *[
@@ -93,15 +113,33 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    left = b.withColumnRenamed(id_col, "left_id")
-    right = b.withColumnRenamed(id_col, "right_id")
-    return (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
+    ).select("_rep", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        hot = b.groupBy("band", "bucket").count().filter(F.col("count") > bucket_cap).select("band", "bucket")
+        b = b.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+    rep_pairs = (
+        b.select("band", "bucket", F.col("_rep").alias("_lrep"))
+        .join(b.select("band", "bucket", F.col("_rep").alias("_rrep")), on=["band", "bucket"])
+        .filter(F.col("_lrep") < F.col("_rrep"))
+        .select("_lrep", "_rrep")
         .distinct()
     )
+    # re-expand: pairs across two signature groups + all pairs within a group
+    cross = (
+        rep_pairs.join(members.select(F.col("_rep").alias("_lrep"), F.col("_mid").alias("_lid")), on="_lrep")
+        .join(members.select(F.col("_rep").alias("_rrep"), F.col("_mid").alias("_rid")), on="_rrep")
+        .select(
+            F.least(F.col("_lid"), F.col("_rid")).alias("left_id"),
+            F.greatest(F.col("_lid"), F.col("_rid")).alias("right_id"),
+        )
+    )
+    within = (
+        members.select("_rep", F.col("_mid").alias("left_id"))
+        .join(members.select("_rep", F.col("_mid").alias("right_id")), on="_rep")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    return cross.unionByName(within).distinct()
 
 
 def minhash_near_dups(
@@ -111,11 +149,13 @@ def minhash_near_dups(
     threshold: float = 0.7,
     n_hashes: int = 32,
     bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact n-gram-Jaccard verification ≥ threshold."""
+    exact n-gram-Jaccard verification ≥ threshold. ``bucket_cap`` bounds
+    candidate generation under near-dup floods (see minhash_lsh_candidates)."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    cand = minhash_lsh_candidates(sig, id_col, bands, n_hashes // bands)
+    cand = minhash_lsh_candidates(sig, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap)
     docs = df.select(F.col(id_col), F.col(text_col))
     pairs = (
         cand.join(docs.withColumnRenamed(id_col, "left_id").withColumnRenamed(text_col, "left_text"), on="left_id")
@@ -173,6 +213,14 @@ def connected_components(
         labels = new
         if not changed:
             break
+    else:
+        # returning partial labels would hand callers WRONG cluster ids with
+        # no signal; with path halving max_iters=25 covers diameter ~2^25,
+        # so exhaustion means a genuinely pathological graph — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} rounds; "
+            "raise max_iters (rounds needed ≈ log2(graph diameter))"
+        )
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -216,31 +264,54 @@ def hamming_near_dup_pairs(
     pair. Verification is one JVM ``bit_count(xor)``. This is the standard
     near-dup image-dedup shape at corpus scale: one explode + one equi-join,
     never all-pairs, and unlike probabilistic LSH the recall is 1 by
-    construction."""
+    construction.
+
+    Skew guard: the banded self-join runs over DISTINCT hash values only —
+    a flood of B byte-identical images (the normal case in a web crawl)
+    contributes ONE row per band instead of B rows that would meet each
+    other B²/2 times in EVERY band. Qualifying hash pairs then re-expand to
+    id pairs through output-sized equi-joins (within-group pairs at distance
+    0, cross-group pairs at the verified distance), so the result set is
+    unchanged and recall stays 1."""
     if not 0 <= max_dist < n_bands:
         raise ValueError(f"pigeonhole guarantee needs max_dist < n_bands, got {max_dist} ≥ {n_bands}")
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
     width = 64 // n_bands
     mask = (1 << width) - 1
+    members = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    distinct_h = members.select("_h").distinct()
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                F.shiftrightunsigned(F.col("_h"), i * width).bitwiseAND(F.lit(mask)).alias("key"),
             )
             for i in range(n_bands)
         ]
     )
-    b = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), F.explode(bands).alias("bb")).select(
-        "_id", "_h", "bb.band", "bb.key"
+    b = distinct_h.select("_h", F.explode(bands).alias("bb")).select("_h", "bb.band", "bb.key")
+    hash_pairs = (
+        b.select("band", "key", F.col("_h").alias("lh"))
+        .join(b.select("band", "key", F.col("_h").alias("rh")), on=["band", "key"])
+        .filter(F.col("lh") < F.col("rh"))
+        .dropDuplicates(["lh", "rh"])
+        .withColumn("hamming", F.bit_count(F.col("lh").bitwiseXOR(F.col("rh"))))
+        .filter(F.col("hamming") <= max_dist)
     )
-    cand = (
-        b.select("band", "key", F.col("_id").alias("left_id"), F.col("_h").alias("lh"))
-        .join(b.select("band", "key", F.col("_id").alias("right_id"), F.col("_h").alias("rh")), on=["band", "key"])
+    cross = (
+        hash_pairs.join(members.select(F.col("_h").alias("lh"), F.col("_id").alias("_lid")), on="lh")
+        .join(members.select(F.col("_h").alias("rh"), F.col("_id").alias("_rid")), on="rh")
+        .select(
+            F.least(F.col("_lid"), F.col("_rid")).alias("left_id"),
+            F.greatest(F.col("_lid"), F.col("_rid")).alias("right_id"),
+            "hamming",
+        )
+    )
+    within = (
+        members.select("_h", F.col("_id").alias("left_id"))
+        .join(members.select("_h", F.col("_id").alias("right_id")), on="_h")
         .filter(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
+        .select("left_id", "right_id", F.lit(0).cast("int").alias("hamming"))
     )
-    return cand.select(
-        "left_id", "right_id", F.bit_count(F.col("lh").bitwiseXOR(F.col("rh"))).alias("hamming")
-    ).filter(F.col("hamming") <= max_dist)
+    return cross.unionByName(within)

@@ -35,17 +35,22 @@ def range_join(
     decides membership."""
     if bin_size <= 0:
         raise ValueError("bin_size must be positive")
+    if how != "inner":
+        # The exact predicate runs as a post-join filter; NULL-extended rows
+        # from an outer join would always fail it, silently collapsing outer
+        # semantics to inner. Refuse rather than lie.
+        raise ValueError("range_join supports how='inner' only")
     p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_size).cast("long"))
     lo_bin = F.floor(F.col(lo_col) / bin_size).cast("long")
-    # hi is exclusive: nudge below the edge so a range ending exactly on a
-    # bin boundary does not claim the next bin; clamp for sub-epsilon ranges
-    hi_bin = F.greatest(
-        F.floor((F.col(hi_col) - F.lit(bin_size * 1e-9)) / bin_size).cast("long"), lo_bin
-    )
+    # hi is exclusive, but a range ending exactly on a bin boundary may
+    # safely claim the boundary bin: the spurious candidates it generates
+    # are removed by the exact predicate below. (An epsilon nudge here
+    # would MISS matches for hi values a hair above a boundary.)
+    hi_bin = F.floor(F.col(hi_col) / bin_size).cast("long")
     r = ranges.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_bin", F.explode(F.sequence(lo_bin, hi_bin))
     )
-    joined = p.join(r, on="_bin", how=how).filter(
+    joined = p.join(r, on="_bin", how="inner").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("_bin")

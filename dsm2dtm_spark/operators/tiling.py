@@ -433,7 +433,11 @@ def tiled_dtm_transform(
         cell_size = F.greatest(
             (F.abs(F.col("xres_m")) + F.abs(F.col("yres_m"))) / 2.0, F.lit(0.001)
         )
-        is_coarse = cell_size < MIN_PROCESS_RES_M * 0.9
+        # coalesce: under ANSI three-valued logic a NULL xres_m/yres_m fails
+        # BOTH filter(p) and filter(~p) and the row silently vanishes; route
+        # NULL-metadata rows down the standard branch, where pass 1 either
+        # processes or (permissive) quarantines them
+        is_coarse = F.coalesce(cell_size < MIN_PROCESS_RES_M * 0.9, F.lit(False))
         coarse_rows = images.filter(is_coarse)
         images = images.filter(~is_coarse)
     # big rows pack few per input split (maxPartitionBytes), capping pass-1/2

@@ -47,6 +47,23 @@ class TestRangeJoin:
         got = {(r.pid, r.rid) for r in range_join(pts, rng_df, "v", "lo", "hi", 10.0).collect()}
         assert got == {(1, 0)}  # v == hi is OUT (half-open), even on a bin edge
 
+    def test_hi_just_above_bin_edge_still_matches(self, spark):
+        # regression (ADVICE r2): an epsilon nudge on hi_bin dropped matches
+        # whenever hi sat within bin_size*1e-9 ABOVE a bin boundary — the
+        # range never exploded into its top bin
+        hi = 10.0 + 10.0 * 1e-10  # inside the old nudge window
+        pts = spark.createDataFrame(pd.DataFrame({"pid": [0], "v": [10.0]}))
+        rng_df = spark.createDataFrame(pd.DataFrame({"rid": [0], "lo": [0.0], "hi": [hi]}))
+        got = {(r.pid, r.rid) for r in range_join(pts, rng_df, "v", "lo", "hi", 10.0).collect()}
+        assert got == {(0, 0)}  # lo <= 10.0 < hi holds, the point must match
+
+    def test_non_inner_join_rejected(self, spark, data):
+        # outer semantics would silently collapse to inner (exact predicate
+        # runs post-join); the operator must refuse rather than lie
+        _, _, spts, sranges = data
+        with pytest.raises(ValueError, match="inner"):
+            range_join(spts, sranges, "v", "lo", "hi", 10.0, how="left")
+
     def test_plan_is_equi_join(self, spark, data):
         _, _, spts, sranges = data
         plan = range_join(spts, sranges, "v", "lo", "hi", 10.0)._jdf.queryExecution().executedPlan().toString()

@@ -40,6 +40,17 @@ class TestSqlFunctions:
         want = cellindex.parent_cell(cells, 8).tolist()
         assert got == want
 
+    def test_cell_parent_above_own_res_is_null(self, spark, funcs):
+        # parent_res > encoded res would make the shift count negative —
+        # Java masks it to 6 bits and returns garbage while the numpy twin
+        # raises; the SQL surface must return NULL instead (ADVICE r2)
+        cells = cellindex.encode_cells(np.array([10.0]), np.array([20.0]), 8)
+        df = spark.createDataFrame(pd.DataFrame({"cell_id": cells}))
+        df.createOrReplaceTempView("cells8")
+        got = spark.sql("SELECT cell_parent(cell_id, 14) AS p, cell_parent(cell_id, 8) AS same FROM cells8").collect()[0]
+        assert got.p is None
+        assert got.same == int(cells[0])  # parent at own res = identity, still works
+
     def test_utm_epsg_matches_golden(self, spark, funcs):
         from dsm2dtm_spark.golden import estimate_utm_epsg
 

@@ -235,6 +235,23 @@ class TestTiledPermissive:
             want = golden.dsm_to_dtm(grid, (row.xres_m, row.yres_m), radius_m=RADIUS)
             np.testing.assert_array_equal(codecs.decode(bytes(r.bytes), r.h, r.w, r.fmt), want)
 
+    def test_null_resolution_row_is_quarantined_not_dropped(self, spark):
+        # ADVICE r2: under ANSI three-valued logic a NULL xres_m failed both
+        # the coarse and the standard route predicates and the row VANISHED;
+        # it must instead flow down the standard branch and quarantine
+        std = big_image_pdf().iloc[:1].copy()
+        broken = std.iloc[:1].copy()
+        broken["image_id"] = "null_res_row"
+        broken["xres_m"] = None
+        broken["yres_m"] = None
+        mixed = pd.concat([std, broken], ignore_index=True)
+        sdf = spark.createDataFrame(mixed)
+        rows = {r.image_id: r for r in
+                tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS, permissive=True).collect()}
+        assert set(rows) == set(mixed.image_id)  # nothing silently lost
+        assert rows["null_res_row"].error
+        assert rows[std.image_id.iloc[0]].error is None
+
 
 class TestImageStats:
     def test_stats_match_golden_params(self, spark):

@@ -62,6 +62,27 @@ class TestMinhashLSH:
         assert (1, 3) in pairs or (2, 3) in pairs
         assert all(j.jaccard >= 0.7 for j in out)
 
+    def test_exact_duplicate_flood_collapses_before_join(self, spark):
+        # 2000 identical docs + 2 distinct: candidate generation must collapse
+        # identical signatures to one representative (the banded join sees ~3
+        # rows, not 2000 meeting each other in all 8 bands) and re-expand the
+        # exact pair set afterwards — recall 1 for the flood.
+        flood_n = 2000
+        rows = [(i, "spark engines convert surface models into terrain models") for i in range(flood_n)]
+        rows += [(flood_n, "a totally unrelated sentence about cats"), (flood_n + 1, "der hund ist gut")]
+        d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        sig = D.minhash_signatures(d, n_hashes=16)
+        cand = D.minhash_lsh_candidates(sig, bands=4, rows_per_band=4)
+        assert cand.count() == flood_n * (flood_n - 1) // 2  # exactly the true dup pairs
+
+    def test_bucket_cap_bounds_nearflood_and_keeps_recall_elsewhere(self, spark, docs_df):
+        sig = D.minhash_signatures(docs_df, n_hashes=32)
+        capped = D.minhash_lsh_candidates(sig, bands=8, rows_per_band=4, bucket_cap=3)
+        uncapped = {(r.left_id, r.right_id) for r in D.minhash_lsh_candidates(sig, bands=8, rows_per_band=4).collect()}
+        got = {(r.left_id, r.right_id) for r in capped.collect()}
+        assert got <= uncapped  # cap only ever removes candidates
+        assert (1, 2) in got  # exact dups survive (collapse path, not buckets)
+
     def test_signature_shape_and_determinism(self, spark, docs_df):
         s1 = {r.doc_id: r.signature for r in D.minhash_signatures(docs_df, n_hashes=16).collect()}
         s2 = {r.doc_id: r.signature for r in D.minhash_signatures(docs_df, n_hashes=16).collect()}
@@ -127,6 +148,42 @@ class TestHammingNearDups:
         with pytest.raises(ValueError, match="pigeonhole"):
             hamming_near_dup_pairs(sdf, max_dist=4, n_bands=4)
 
+    def test_duplicate_flood_bounded_candidates(self, spark):
+        # web-crawl regime: thousands of byte-identical images. The banded
+        # self-join must run over DISTINCT hashes (flood contributes 1 row,
+        # not B rows → B² candidates per band); the true pair set (which IS
+        # quadratic in flood size — that's the answer) still comes out exact.
+        from dsm2dtm_spark.operators.dedup import hamming_near_dup_pairs
+
+        flood_n = 3000
+        rng = np.random.default_rng(7)
+        extra = rng.integers(-(2**63), 2**63, 20, dtype=np.int64)
+        base = np.int64(0x1234_5678_9ABC_DEF0)
+        near = base ^ np.int64(0b11)  # hamming 2 from the flood hash
+        hashes = [int(base)] * flood_n + [int(near)] + [int(h) for h in extra]
+        pdf = pd.DataFrame({"image_id": [f"i{k:05d}" for k in range(len(hashes))], "phash": hashes})
+        out = hamming_near_dup_pairs(spark.createDataFrame(pdf), max_dist=3)
+        # the banded join input is provably distinct-hash-sized: assert the
+        # plan dedups before banding (an explode downstream of an agg/distinct)
+        n = out.count()
+        want_within = flood_n * (flood_n - 1) // 2
+        assert n >= want_within + flood_n  # flood pairs + flood×near pairs
+        sample = out.filter("right_id = 'i03000'").count()  # near vs every flood member
+        assert sample == flood_n
+
+    def test_within_group_pairs_match_allpairs_semantics(self, spark):
+        # 4 copies of one hash + 1 at distance 1: expansion must reproduce
+        # the exact all-pairs output (ids ordered, correct hamming values)
+        from dsm2dtm_spark.operators.dedup import hamming_near_dup_pairs
+
+        pdf = pd.DataFrame({"image_id": list("abcde"), "phash": [99, 99, 99, 99, 98]})
+        got = {(r.left_id, r.right_id, r.hamming)
+               for r in hamming_near_dup_pairs(spark.createDataFrame(pdf), max_dist=3).collect()}
+        want = {(a, b, 0) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]} | {
+            (x, "e", bin(99 ^ 98).count("1")) for x in "abcd"
+        }
+        assert got == want
+
 
 class TestConnectedComponents:
     def test_components_get_min_id_label(self, spark):
@@ -155,6 +212,19 @@ class TestConnectedComponents:
         )
         got = {r.id: r.cluster_id for r in connected_components(vertices, edges, max_iters=12).collect()}
         assert got == {i: 0 for i in range(n)}  # path halving: ≤12 rounds suffice
+
+    def test_non_convergence_raises_not_partial(self, spark):
+        # ADVICE r2: exhausting max_iters used to return silently-wrong
+        # partial labels; now it must fail loudly
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        n = 64
+        vertices = spark.createDataFrame(pd.DataFrame({"id": range(n)}))
+        edges = spark.createDataFrame(
+            pd.DataFrame({"left_id": range(n - 1), "right_id": range(1, n)})
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(vertices, edges, max_iters=2).collect()
 
 
 class TestSimilaritySearch:
