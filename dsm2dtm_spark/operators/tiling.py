@@ -55,8 +55,11 @@ from pyspark.sql.types import (
 from dsm2dtm_spark import codecs, golden
 from dsm2dtm_spark.operators import cellindex
 from dsm2dtm_spark.params import (
+    MAX_HALO_PX,
+    MAX_WINDOW_PX,
     MIN_PROCESS_RES_M,
     NODATA_DEFAULT,
+    PMF_BASE_SLOPE,
     PMF_INIT_THRESHOLD,
     PMF_MAX_THRESHOLD,
     apply_radius_override,
@@ -176,21 +179,35 @@ def image_stats(
                     "which is whole-image by construction — use the whole-image plan"
                 )
             h, w = int(row.h), int(row.w)
+            max_dim = max(h, w)
+            # windows/sigmas/halo depend only on (resolution, dims, radius) —
+            # derive and safety-check them from METADATA, before any decode,
+            # so a runaway kernel/halo config fails fast even on a raster
+            # whose decode itself would be the OOM (slope only sets slope_px,
+            # patched after estimation below)
+            p = derive_params(cell_size, max_image_dim=max_dim, base_slope=PMF_BASE_SLOPE)
+            if radius_m is not None:
+                apply_radius_override(p, radius_m, cell_size, max_dim)
+            halo = total_influence_px(p)
+            if halo > MAX_HALO_PX:
+                # each tile ships (tile+2·halo)² f32 pixels through the
+                # shuffle — a runaway halo is an OOM, not a slow job
+                raise ValueError(
+                    f"{row.image_id}: derived halo {halo}px exceeds the safety cap "
+                    f"{MAX_HALO_PX}px (kernel cap {MAX_WINDOW_PX}px); "
+                    "reduce the radius or downsample first"
+                )
             # the streamed kernel covers the no-decimation slope domain
             # (res ≥ 0.5); rarer sub-0.5 m standard rows decode whole-image
             if chunked and row.fmt in CHUNKED_FORMATS and cell_size >= 0.5:
                 mn, s_auto = chunked_min_and_slope(row.bytes, h, w, cell_size, NODATA_DEFAULT, fmt=row.fmt)
                 s = slope if slope is not None else s_auto
-                max_dim = max(h, w)
             else:
                 grid = codecs.decode(row.bytes, h, w, row.fmt)
                 valid = grid != NODATA_DEFAULT
                 mn = float(grid[valid].min()) if valid.any() else float("nan")
                 s = slope if slope is not None else golden.terrain_slope(grid, cell_size, NODATA_DEFAULT)
-                max_dim = max(grid.shape)
-            p = derive_params(cell_size, max_image_dim=max_dim, base_slope=s)
-            if radius_m is not None:
-                apply_radius_override(p, radius_m, cell_size, max_dim)
+            p.slope_px = float(s) * cell_size
             return {
                 "image_id": row.image_id,
                 "min_valid": mn,
@@ -201,7 +218,7 @@ def image_stats(
                 "refine_sigma": p.refine_sigma,
                 "final_sigma": p.final_sigma,
                 "gap_dist_px": p.gap_dist_px,
-                "halo_px": total_influence_px(p),
+                "halo_px": halo,
                 "error": None,
             }
 

@@ -30,6 +30,22 @@ GAP_FILL_MAX_DIST_M = 100.0
 DEFAULT_RADIUS_M = 40.0
 # degrees→meters equator fallback, reference algorithm.py:393
 DEG_TO_M = 111320.0
+# hard kernel safety cap, reference qgis_plugin processing_algorithm.py:19,
+# 219-225: a radius/resolution combination that derives a window beyond this
+# is a config error (it would also derive a multi-GB tiled halo) — fail fast
+MAX_WINDOW_PX = 5000
+# halo bound implied by the window cap: Σ(wᵢ−1) over the geometric schedule
+# ≈ 2·max_window, plus Gaussian radii and gap-fill distance — 3× leaves room
+MAX_HALO_PX = 3 * MAX_WINDOW_PX
+
+
+def _check_window_cap(window_px: int, context: str) -> None:
+    if window_px > MAX_WINDOW_PX:
+        raise ValueError(
+            f"{context} would build a {window_px}-pixel kernel — exceeds the "
+            f"safety cap of {MAX_WINDOW_PX} px (reference "
+            "processing_algorithm.py:219-225). Reduce the radius or downsample first."
+        )
 
 
 @dataclass
@@ -63,6 +79,11 @@ def derive_params(resolution: float, max_image_dim: int = 10000, base_slope: flo
     max_w = min(int(PMF_MAX_WINDOW_M / res), _force_odd_down(max_image_dim))
     max_w = _force_odd_down(max_w)
     max_w = max(init_w, max_w)
+    # cap AFTER the image-dim clamp: the reference library itself never
+    # derives beyond the image (tiny fine-res chips are legal, reference
+    # algorithm.py:292-296 guard); what must fail fast is a genuinely huge
+    # image × fine resolution, where the clamp no longer saves us
+    _check_window_cap(max_w, f"adaptive max window at resolution {res:.4f}m")
     return DerivedParams(
         init_window=init_w,
         max_window=max_w,
@@ -83,6 +104,11 @@ def apply_radius_override(params: DerivedParams, radius_m: float, cell_size: flo
     res_m = max(res_m, 0.001)
     w = int(radius_m / res_m) * 2 + 1
     w = min(w, _force_odd_down(max_image_dim))
+    # hard cap AFTER the image-dim clamp: the reference library lets tiny
+    # fine-res chips clamp down legally (its own 1 cm stress test relies on
+    # it); the hazard the plugin cap exists for — a kernel/halo that's huge
+    # in absolute pixels — requires a huge image too
+    _check_window_cap(w, f"radius {radius_m}m at resolution {res_m:.4f}m")
     params.max_window = max(w, params.init_window)
 
 

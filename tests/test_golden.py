@@ -65,6 +65,24 @@ class TestDerivedParams:
         p2 = derive_params(1.0, max_image_dim=10)
         assert p2.max_window == 9
 
+    def test_kernel_safety_cap_5000px(self):
+        # reference plugin's hard cap (processing_algorithm.py:19, 219-225):
+        # a degree-resolution raster (0.02° pixels read as 0.02 m — past the
+        # <0.01 degrees heuristic) with --radius 500 on a large image derives
+        # a 50001-px kernel and a multi-GB tiled halo; it must fail fast
+        from dsm2dtm_spark.params import apply_radius_override
+
+        p = derive_params(1.0, max_image_dim=100_000)
+        with pytest.raises(ValueError, match="safety cap"):
+            apply_radius_override(p, 500.0, cell_size=0.02, max_image_dim=100_000)
+        # a small chip clamps the kernel to the image dim — legal (the
+        # reference's own 1 cm stress case relies on this), no cap trip
+        apply_radius_override(p, 500.0, cell_size=0.02, max_image_dim=512)
+        assert p.max_window == 511
+        # at a sane resolution the same radius is fine on a big image too
+        apply_radius_override(p, 500.0, cell_size=1.0, max_image_dim=5000)
+        assert p.max_window == 1001
+
 
 class TestPMF:
     def test_removes_block_keeps_ground(self):

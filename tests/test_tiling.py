@@ -264,6 +264,22 @@ class TestImageStats:
         assert s.max_window == 15  # int(15/2)*2+1
         assert s.halo_px == 75
 
+    def test_runaway_kernel_fails_fast_in_pass1(self, spark):
+        # 0.5 m pixels + --radius 5000 m on a 50k-px raster → 20001-px kernel
+        # → a multi-GB tiled halo; pass 1 must raise from METADATA alone,
+        # before any decode (reference plugin cap, processing_algorithm.py:
+        # 219-225) — the bytes here are deliberately garbage to prove the
+        # check never reaches them
+        pdf = big_image_pdf().iloc[:1].copy()
+        pdf["xres_m"] = 0.5
+        pdf["yres_m"] = 0.5
+        pdf["h"] = 50_000
+        pdf["w"] = 50_000
+        pdf["bytes"] = [b"not-a-raster"]
+        sdf = spark.createDataFrame(pdf)
+        with pytest.raises(Exception, match="safety cap"):
+            tiling.image_stats(sdf, 5000.0, None).collect()
+
     def test_coarse_path_rejected(self, spark):
         pdf = synth.image_table(4, seed=1, sizes=(50,), fmts=("raw_f32",))
         pdf["xres_m"] = 0.01
