@@ -35,6 +35,17 @@ _IMAGES_PQ = os.path.join(_CONTRACT_DIR, "images.parquet")
 _FOOTPRINTS_PQ = os.path.join(_CONTRACT_DIR, "footprints.parquet")
 _KNN_PQ = os.path.join(_CONTRACT_DIR, "knn_queries.parquet")
 _IMG_TABLE = os.path.join(_CONTRACT_DIR, "img_table")
+# oracle twins for the approximate-ANN and pipeline queries: the exact same
+# deterministic planes/centroids the Arrow UDFs regenerate (testdata
+# embeddings are 64-d at every sf), and golden-clone DTM metrics — letting
+# DuckDB replay bucket assignment / inverted lists / pipeline stats as plain
+# SQL instead of leaving those queries rows-only
+_ANN_PLANES_PQ = os.path.join(_CONTRACT_DIR, "ann_planes.parquet")
+_ANN_CENTROIDS_PQ = os.path.join(_CONTRACT_DIR, "ann_centroids.parquet")
+_DTM_GOLDEN_PQ = os.path.join(_CONTRACT_DIR, "dtm_golden_metrics.parquet")
+_ANN_DIM = 64  # embeddings.parquet vector length (all sf); a drift would
+# surface as a loud oracle/engine mismatch, not silence
+_DTM_METRICS_CUTOFF = "img_000016"  # first 16 images, by zero-padded id
 
 SHIP_CUTOFF = "1995-09-01"
 
@@ -45,19 +56,58 @@ def _ensure_contract_tables() -> None:
         os.path.exists(_IMAGES_PQ)
         and os.path.exists(_FOOTPRINTS_PQ)
         and os.path.exists(_KNN_PQ)
+        and os.path.exists(_ANN_PLANES_PQ)
+        and os.path.exists(_ANN_CENTROIDS_PQ)
+        and os.path.exists(_DTM_GOLDEN_PQ)
         and os.path.exists(os.path.join(_IMG_TABLE, "meta", "CURRENT"))
     ):
         return
+    import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from dsm2dtm_spark import synth
+    from dsm2dtm_spark import codecs, golden, synth
+    from dsm2dtm_spark.operators.simsearch import make_centroids, make_planes
+    from dsm2dtm_spark.params import NODATA_DEFAULT
 
     os.makedirs(_CONTRACT_DIR, exist_ok=True)
     images = synth.image_table(n_rows=80, seed=42, sizes=(50, 64, 80), dup_fraction=0.05)
     pq.write_table(pa.Table.from_pandas(images, preserve_index=False), _IMAGES_PQ)
     pq.write_table(pa.Table.from_pandas(synth.footprint_table(50, seed=43), preserve_index=False), _FOOTPRINTS_PQ)
     pq.write_table(pa.Table.from_pandas(synth.knn_query_table(40, seed=44), preserve_index=False), _KNN_PQ)
+
+    # SRP planes (lsh_topk defaults: 6 planes × 8 tables, seed 7) and IVF
+    # centroids (16, seed 13) — byte-identical to what srp_buckets_udf /
+    # make_centroids regenerate inside the Arrow UDFs, so a DuckDB
+    # list_dot_product over these parquets replays the same buckets/lists
+    plane_rows = [
+        {"table_id": t, "plane_idx": i, "plane": p[i].tolist()}
+        for t in range(8)
+        for p in [make_planes(_ANN_DIM, 6, seed=7 + 101 * t)]
+        for i in range(6)
+    ]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(plane_rows), preserve_index=False), _ANN_PLANES_PQ)
+    cents = make_centroids(_ANN_DIM, 16, seed=13)
+    cent_rows = [{"centroid_id": i, "centroid": c.tolist()} for i, c in enumerate(cents)]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(cent_rows), preserve_index=False), _ANN_CENTROIDS_PQ)
+
+    # golden-clone DTM metrics for the pipeline query's image subset: the
+    # distributed plan must reproduce these exactly (the parity axis,
+    # SURVEY.md §5) — generated single-node, compared by the driver's hash
+    metr = []
+    for r in images[images.image_id < _DTM_METRICS_CUTOFF].itertuples(index=False):
+        grid = codecs.decode(r.bytes, int(r.h), int(r.w), r.fmt)
+        dtm = golden.dsm_to_dtm(grid, (float(r.xres_m), float(r.yres_m)), radius_m=40.0)
+        metr.append(
+            {
+                "image_id": r.image_id,
+                "fmt": r.fmt,
+                "valid_in": int(np.sum(grid != NODATA_DEFAULT)),
+                "valid_out": int(np.sum(dtm != NODATA_DEFAULT)),
+            }
+        )
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(metr), preserve_index=False), _DTM_GOLDEN_PQ)
     # snapshot-table twin of the image table, one commit per image width, so
     # read(where=[('w', ...)]) exercises footer-stats file skipping
     import shutil
@@ -637,18 +687,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_cosine_dedup"] = emb_cosine_dedup
 
-    def emb_ivf_topk(spark, sf):  # rows-only: approximate by design
+    def emb_cosine_dedup_leader(spark, sf):
+        # keep-one-per-cluster dedup: similarity pairs → connected
+        # components → only each cluster's min-id leader survives (vs the
+        # 'any' policy, which also drops chain members the leader never
+        # directly matched). Oracle: recursive-CTE transitive closure.
+        from dsm2dtm_spark.operators.simsearch import cosine_dedup
+
+        e = _t(spark, sf, "embeddings")
+        return cosine_dedup(e, threshold=0.45, delta=1e-6, policy="leader").select("vec_id", "label")
+
+    q["emb_cosine_dedup_leader"] = emb_cosine_dedup_leader
+
+    def emb_ivf_topk(spark, sf):
+        # approximate by design, but fully deterministic: the oracle replays
+        # the SAME inverted-list assignment from the materialized centroids
+        # (ann_centroids.parquet == what the Arrow UDF regenerates), so the
+        # whole IVF pipeline — assign, probe 4 lists, exact rerank — is
+        # hash-checked in SQL, not rows-only
         from dsm2dtm_spark.operators.simsearch import ivf_topk
 
+        _ensure_contract_tables()
         e = _t(spark, sf, "embeddings")
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
         return ivf_topk(e, queries_df, k=5)
 
     q["emb_ivf_topk"] = emb_ivf_topk
 
-    def emb_lsh_topk(spark, sf):  # rows-only: approximate by design
+    def emb_lsh_topk(spark, sf):
+        # same story as emb_ivf_topk: SRP buckets replayed from
+        # ann_planes.parquet in DuckDB → candidate set and rerank are exact
         from dsm2dtm_spark.operators.simsearch import lsh_topk
 
+        _ensure_contract_tables()
         e = _t(spark, sf, "embeddings")
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
         return lsh_topk(e, queries_df, k=5)
@@ -745,10 +816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_knn_anchors"] = img_knn_anchors
 
-    def dtm_pipeline_metrics(spark, sf):  # rows-only: the non-SQL flagship op
+    def dtm_pipeline_metrics(spark, sf):
+        # flagship pixel pipeline, hash-checked: the oracle is a committed
+        # golden-clone metrics parquet (dtm_golden_metrics.parquet, generated
+        # single-node at fixture time) — the distributed plan must reproduce
+        # it exactly, which IS the engine's parity axis (SURVEY.md §5)
         from dsm2dtm_spark.plans import dtm_transform
 
-        img = _images(spark).limit(16)
+        img = _images(spark).filter(F.col("image_id") < _DTM_METRICS_CUTOFF)
         return dtm_transform(img, radius_m=40.0).select("image_id", "fmt", "valid_in", "valid_out")
 
     q["dtm_pipeline_metrics"] = dtm_pipeline_metrics
@@ -1119,6 +1194,101 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
         )
         SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT drop_id FROM dupes)
+    """
+
+    # leader policy: transitive closure over the similarity graph (recursive
+    # CTE), cluster id = min reachable id; non-leaders drop. Matches the
+    # engine's connected-components labels exactly.
+    o["emb_cosine_dedup_leader"] = """
+        WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS lid, b.vec_id AS rid
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        ),
+        edges AS (SELECT lid AS a, rid AS b FROM pairs UNION ALL SELECT rid, lid FROM pairs),
+        reach(id, r) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        labels AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+        SELECT vec_id, label FROM e
+        WHERE vec_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)
+    """
+
+    # IVF replay: nearest centroid per corpus vector (top-1 by dot product —
+    # scale-invariant, so no normalization needed), 4 probed lists per query,
+    # equi-join on list id, exact cosine rerank — the engine plan in SQL
+    o["emb_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT centroid_id, centroid FROM read_parquet('{_ANN_CENTROIDS_PQ}')),
+        corpus_lists AS (
+            SELECT vec_id AS neighbor_id, v AS cvec, centroid_id AS list_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.centroid) DESC, c.centroid_id ASC) AS rn
+                FROM e, cents c
+            ) WHERE rn = 1
+        ),
+        query_lists AS (
+            SELECT query_id, qvec, centroid_id AS list_id FROM (
+                SELECT q.vec_id AS query_id, q.v AS qvec, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, c.centroid) DESC, c.centroid_id ASC) AS rn
+                FROM e q, cents c WHERE q.vec_id < 5
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT ql.query_id, cl.neighbor_id,
+                   ROUND(list_dot_product(ql.qvec, cl.cvec)
+                         / (sqrt(list_dot_product(ql.qvec, ql.qvec)) * sqrt(list_dot_product(cl.cvec, cl.cvec))), 6)
+                       AS cosine
+            FROM query_lists ql JOIN corpus_lists cl USING (list_id)
+            WHERE cl.neighbor_id != ql.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
+    # SRP-LSH replay: sign bits from the materialized planes → per-table
+    # bucket ids (bit-weighted sum | table<<48, exactly the UDF's formula) →
+    # bucket-collision candidates → exact cosine rerank
+    o["emb_lsh_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buckets AS (
+            SELECT e.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                                 THEN (1 << p.plane_idx) ELSE 0 END) AS BIGINT)
+                   | (CAST(p.table_id AS BIGINT) << 48) AS bucket
+            FROM e, read_parquet('{_ANN_PLANES_PQ}') p
+            GROUP BY e.vec_id, p.table_id
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buckets q JOIN buckets c USING (bucket)
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM cand JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
+    o["dtm_pipeline_metrics"] = f"""
+        SELECT image_id, fmt, valid_in, valid_out
+        FROM read_parquet('{_DTM_GOLDEN_PQ}')
     """
 
     img = f"read_parquet('{_IMAGES_PQ}')"

@@ -183,19 +183,43 @@ def cosine_dedup(
     vec_col: str = "embedding",
     method: str = "bucketed",
     delta: float = 1e-3,
+    policy: str = "any",
 ) -> DataFrame:
-    """Embedding-cosine near-dup dedup: a row is dropped when ANY lower-id
-    row is cosine-similar above ``threshold`` — including lower-id rows that
-    were themselves dropped (in a chain A~B, B~C, A≁C both B and C drop;
-    this is transitive-reach pruning, deterministic and SQL-replayable, not
-    per-cluster leader election). Candidate generation is the SRP-LSH
+    """Embedding-cosine near-dup dedup. Candidate generation is the SRP-LSH
     bucketed equi-join of ``cosine_pairs`` (engine path — survives corpus
-    scale); ``method='exact'`` keeps the O(n²) verification form."""
-    dupes = (
-        cosine_pairs(corpus, threshold, id_col, vec_col, method=method, delta=delta)
-        .select(F.col("right_id").alias("drop_id"))
-        .distinct()
-    )
+    scale); ``method='exact'`` keeps the O(n²) verification form.
+
+    ``policy='any'`` (default): a row is dropped when ANY lower-id row is
+    cosine-similar above ``threshold`` — including lower-id rows that were
+    themselves dropped (in a chain A~B, B~C, A≁C both B and C drop; this is
+    transitive-reach pruning, deterministic and SQL-replayable, not
+    per-cluster leader election).
+
+    ``policy='leader'``: true keep-one-per-cluster — the similarity pairs
+    form a graph, connected components label each cluster with its minimum
+    id, and exactly that leader survives (in the chain above, A survives and
+    B and C drop, even though A≁C directly). Costs the O(log diameter)
+    rounds of the CC loop on top of pair generation."""
+    pairs = cosine_pairs(corpus, threshold, id_col, vec_col, method=method, delta=delta)
+    if policy == "leader":
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        # CC only over vertices that appear in a pair — rows with no
+        # near-dup (the vast majority of a deduped corpus) never enter the
+        # iterative loop and survive by default
+        touched = (
+            pairs.select(F.col("left_id").alias(id_col))
+            .unionByName(pairs.select(F.col("right_id").alias(id_col)))
+            .distinct()
+        )
+        labels = connected_components(touched, pairs, id_col=id_col)
+        dupes = labels.filter(F.col(id_col) != F.col("cluster_id")).select(
+            F.col(id_col).alias("drop_id")
+        )
+    elif policy == "any":
+        dupes = pairs.select(F.col("right_id").alias("drop_id")).distinct()
+    else:
+        raise ValueError(f"policy must be 'any' or 'leader', got {policy!r}")
     return corpus.join(dupes, corpus[id_col] == dupes.drop_id, "left_anti")
 
 

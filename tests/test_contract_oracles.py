@@ -68,15 +68,15 @@ def test_every_query_has_oracle_or_documented_reason(spark):
     qs = entry.queries()
     oracles = entry.oracle_sql()
     missing = set(qs) - set(oracles)
-    # sketch/approximate/pipeline ops are rows-only BY DESIGN — keep the list
-    # explicit so a forgotten oracle fails loudly
+    # rows-only BY DESIGN — every entry here is genuinely un-replayable in
+    # DuckDB (HLL sketch internals / xxhash64, which DuckDB lacks); keep the
+    # list explicit so a forgotten oracle fails loudly. emb_lsh/ivf_topk and
+    # dtm_pipeline_metrics graduated to real oracles in round 3 (materialized
+    # planes/centroids + golden-clone metrics parquet).
     allowed_rows_only = {
         "approx_distinct_users",
         "docs_minhash_near_dups",
         "docs_simhash",
-        "emb_lsh_topk",
-        "emb_ivf_topk",
-        "dtm_pipeline_metrics",
     }
     assert missing == allowed_rows_only
     assert not (set(oracles) - set(qs)), "oracle without a query"

@@ -392,6 +392,38 @@ class TestCosineDedup:
         assert 3 in kept and 7 not in kept and 15 not in kept
         assert len(kept) == 18
 
+    def test_leader_policy_true_keep_one_per_cluster(self, spark):
+        # hub graph where the policies DIVERGE: 0~2 and 1~2 (hub 2 has the
+        # highest id), 0≁1. 'any' drops only rows with a similar LOWER-id
+        # partner → keeps {0, 1}; 'leader' labels the whole component
+        # {0,1,2} and keeps only min-id 0. Angles: 0 at −25°, 1 at +25°,
+        # hub 2 at 0°, threshold cos(30°) → 25° qualifies, 50° does not.
+        def unit(deg):
+            th = np.deg2rad(deg)
+            return [float(np.cos(th)), float(np.sin(th)), 0.0, 0.0]
+
+        pdf = pd.DataFrame(
+            {"vec_id": [0, 1, 2, 9], "embedding": [unit(-25), unit(25), unit(0), unit(90)]}
+        )
+        sdf = spark.createDataFrame(pdf)
+        t = float(np.cos(np.deg2rad(30)))
+        any_kept = {r.vec_id for r in S.cosine_dedup(sdf, t, method="exact").collect()}
+        leader_kept = {r.vec_id for r in S.cosine_dedup(sdf, t, method="exact", policy="leader").collect()}
+        assert any_kept == {0, 1, 9}  # 1 has no similar lower-id row, survives
+        assert leader_kept == {0, 9}  # one survivor per component
+        # leader set ≡ the CC operator's cluster labels (same graph)
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        pairs = S.cosine_pairs(sdf, t, method="exact")
+        verts = spark.createDataFrame(pd.DataFrame({"vec_id": [0, 1, 2, 9]}))
+        cc = connected_components(verts, pairs, id_col="vec_id")
+        assert leader_kept == {r.cluster_id for r in cc.collect()}
+
+    def test_leader_policy_rejects_unknown(self, spark):
+        pdf = pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+        with pytest.raises(ValueError, match="policy"):
+            S.cosine_dedup(spark.createDataFrame(pdf), 0.9, policy="nope")
+
     def test_srp_params_cover_threshold(self):
         """Threshold→(planes, tables) derivation: the per-pair miss bound
         holds at the threshold, and higher thresholds earn deeper (more
