@@ -53,12 +53,23 @@ def _require_rasterio() -> None:
         )
 
 
-def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None):
+def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None, reader: str = "auto"):
     """list of GeoTIFF paths → the engine's image+caption DataFrame.
 
-    Each executor task opens its files with rasterio and emits one row per
-    raster in the canonical schema (grid re-encoded as the lossless raw_f32
-    codec; caption = the file path for provenance)."""
+    ``reader='rasterio'`` opens files with rasterio on the executors (full
+    GDAL format coverage: compressed/tiled/rotated rasters). ``'builtin'``
+    uses the engine's zero-dependency TIFF reader (sources.tiffio —
+    uncompressed strips, GeoTIFF keys), which covers the reference's own
+    output format. ``'auto'`` (default) picks rasterio when importable,
+    else the builtin — so the GeoTIFF surface works in every environment.
+
+    Each executor task opens its files and emits one row per raster in the
+    canonical schema (grid re-encoded as the lossless raw_f32 codec;
+    caption = the file path for provenance)."""
+    if reader == "builtin" or (reader == "auto" and not HAS_RASTERIO):
+        from dsm2dtm_spark.sources import tiffio
+
+        return tiffio.read_geotiff_table(spark, paths, parallelism)
     _require_rasterio()
     from pyspark.sql import functions as F
 

@@ -1,0 +1,353 @@
+"""From-scratch minimal (Geo)TIFF reader/writer — no rasterio, no GDAL.
+
+The reference's whole job surface is GeoTIFF-in / GeoTIFF-out (reference
+core.py:126-136, 191-204); the sandbox has no rasterio, so this module
+implements the uncompressed-strip subset of TIFF 6.0 + the GeoTIFF tags the
+engine needs, in pure stdlib + numpy (tag parsing, strip assembly, IEEE
+float32 samples — no entropy coding, which is exactly the honest boundary
+drawn for the other media codecs). ``read_geotiff_table`` is a drop-in for
+sources.geotiff.read_geotiff_table with the same output schema, so the DTM
+plans run on real .tif files without any optional dependency.
+
+Supported on read: II/MM byte order, classic TIFF (magic 42), one sample per
+pixel, Compression=1 (none), SampleFormat uint 8/16/32 and IEEE float32,
+multi-strip or single-strip layouts, GeoTIFF keys (model type + EPSG),
+ModelPixelScale/ModelTiepoint, GDAL_NODATA. Written files: little-endian,
+float32, strip size ~64 KiB, GeoTIFF projected/geographic tags + nodata —
+readable by GDAL/rasterio/QGIS (baseline TIFF with standard geo tags).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from dsm2dtm_spark.params import NODATA_DEFAULT
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_GEO_KEY_DIRECTORY = 34735
+_GDAL_NODATA = 42113
+
+# GeoTIFF key ids
+_GT_MODEL_TYPE = 1024  # 1 = projected, 2 = geographic
+_GEOGRAPHIC_TYPE = 2048
+_PROJECTED_CS_TYPE = 3072
+
+# TIFF field types → (struct char, byte size)
+_TYPES = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 11: ("f", 4), 12: ("d", 8)}
+
+
+def write_geotiff(
+    grid: np.ndarray,
+    x0: float,
+    y0: float,
+    xres: float,
+    yres: float,
+    epsg: int = 32631,
+    nodata: float = NODATA_DEFAULT,
+    is_geographic: bool | None = None,
+) -> bytes:
+    """Encode a 2-D float32 grid as an uncompressed GeoTIFF (bytes).
+    (x0, y0) anchor the TOP-LEFT corner of the top-left pixel (GDAL
+    convention); yres is the positive pixel height (rows step south)."""
+    g = np.ascontiguousarray(grid, dtype=np.float32)
+    if g.ndim != 2:
+        raise ValueError(f"grid must be 2-D, got shape {g.shape}")
+    h, w = g.shape
+    if is_geographic is None:
+        is_geographic = 4000 <= epsg <= 4999  # EPSG geographic CRS block
+    rows_per_strip = max(1, 65536 // max(w * 4, 1))
+    n_strips = math.ceil(h / rows_per_strip)
+    strips = [g[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes() for i in range(n_strips)]
+
+    nodata_ascii = f"{nodata:.6g}".encode() + b"\x00"
+    model_type = 2 if is_geographic else 1
+    epsg_key = _GEOGRAPHIC_TYPE if is_geographic else _PROJECTED_CS_TYPE
+    geo_keys = [
+        (1, 1, 0, 2),  # version, revision, minor, number of keys
+        (_GT_MODEL_TYPE, 0, 1, model_type),
+        (epsg_key, 0, 1, int(epsg)),
+    ]
+    geo_dir = [v for key in geo_keys for v in key]
+
+    # entries: (tag, type, count, values). Values pack inline when ≤ 4 bytes.
+    entries = [
+        (_IMAGE_WIDTH, 4, 1, [w]),
+        (_IMAGE_LENGTH, 4, 1, [h]),
+        (_BITS_PER_SAMPLE, 3, 1, [32]),
+        (_COMPRESSION, 3, 1, [1]),
+        (_PHOTOMETRIC, 3, 1, [1]),
+        (_STRIP_OFFSETS, 4, n_strips, None),  # patched below
+        (_SAMPLES_PER_PIXEL, 3, 1, [1]),
+        (_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
+        (_STRIP_BYTE_COUNTS, 4, n_strips, [len(s) for s in strips]),
+        (_PLANAR_CONFIG, 3, 1, [1]),
+        (_SAMPLE_FORMAT, 3, 1, [3]),
+        (_MODEL_PIXEL_SCALE, 12, 3, [float(xres), float(yres), 0.0]),
+        (_MODEL_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, float(x0), float(y0), 0.0]),
+        (_GEO_KEY_DIRECTORY, 3, len(geo_dir), geo_dir),
+        (_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii),
+    ]
+
+    # layout: header (8) | IFD | out-of-line values | strip data
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_at = 8 + ifd_size
+    overflow = bytearray()
+    data_at = None  # computed after overflow sizes are known
+
+    def value_bytes(ftype, count, values):
+        ch, sz = _TYPES[ftype]
+        if ftype == 2:
+            return bytes(values)
+        return struct.pack(f"<{count}{ch}", *values)
+
+    # two passes: first size the overflow area, then emit with real offsets
+    sizes = []
+    for tag, ftype, count, values in entries:
+        ch, sz = _TYPES[ftype]
+        sizes.append(count * sz)
+    total_overflow = sum(s for s in sizes if s > 4)
+    data_at = overflow_at + total_overflow
+    strip_offsets = []
+    pos = data_at
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    entries[5] = (_STRIP_OFFSETS, 4, n_strips, strip_offsets)
+
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    ov_pos = overflow_at
+    for (tag, ftype, count, values), size in zip(entries, sizes):
+        vb = value_bytes(ftype, count, values)
+        if size <= 4:
+            ifd += struct.pack("<HHI", tag, ftype, count) + vb.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", tag, ftype, count, ov_pos)
+            overflow += vb
+            ov_pos += size
+    ifd += struct.pack("<I", 0)  # no next IFD
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
+
+
+def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an uncompressed single-band TIFF; returns (grid, meta) with
+    meta = {x0, y0, xres, yres, epsg, is_geographic, nodata} (geo fields None
+    when the file carries no GeoTIFF keys — callers decide whether a missing
+    CRS is fatal, mirroring reference core.py:60-61)."""
+    if len(data) < 8:
+        raise ValueError("not a TIFF: truncated header")
+    order = data[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"not a TIFF: bad byte-order mark {order!r}")
+    magic, ifd_off = struct.unpack(f"{e}HI", data[2:8])
+    if magic == 43:
+        raise ValueError("BigTIFF (magic 43) is not supported by the minimal reader")
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+
+    (n_entries,) = struct.unpack(f"{e}H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, ftype, count = struct.unpack(f"{e}HHI", data[off : off + 8])
+        if ftype not in _TYPES:
+            continue  # rational/unknown types the engine doesn't need
+        ch, sz = _TYPES[ftype]
+        nbytes = count * sz
+        if nbytes <= 4:
+            raw = data[off + 8 : off + 8 + nbytes]
+        else:
+            (voff,) = struct.unpack(f"{e}I", data[off + 8 : off + 12])
+            raw = data[voff : voff + nbytes]
+        if ftype == 2:
+            tags[tag] = raw
+        else:
+            tags[tag] = list(struct.unpack(f"{e}{count}{ch}", raw))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if isinstance(v, list) else (v if v is not None else default)
+
+    w, h = int(one(_IMAGE_WIDTH, 0)), int(one(_IMAGE_LENGTH, 0))
+    if not w or not h:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    if int(one(_COMPRESSION, 1)) != 1:
+        raise ValueError("compressed TIFF is not supported (entropy coding needs a library)")
+    if int(one(_SAMPLES_PER_PIXEL, 1)) != 1:
+        raise ValueError("multi-band TIFF is not supported — the engine reads band 1 rasters")
+    bits = int(one(_BITS_PER_SAMPLE, 1))
+    sfmt = int(one(_SAMPLE_FORMAT, 1))
+    dtype = {
+        (32, 3): np.float32,
+        (8, 1): np.uint8,
+        (16, 1): np.uint16,
+        (32, 1): np.uint32,
+    }.get((bits, sfmt))
+    if dtype is None:
+        raise ValueError(f"unsupported sample layout: {bits}-bit format {sfmt}")
+    offsets = tags.get(_STRIP_OFFSETS)
+    counts = tags.get(_STRIP_BYTE_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout tags")
+    buf = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    expected = w * h * (bits // 8)
+    if len(buf) < expected:
+        raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
+    grid = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(h, w)
+    grid = grid.astype(grid.dtype.newbyteorder("="))  # native order for kernels
+
+    meta = {"x0": None, "y0": None, "xres": None, "yres": None, "epsg": None,
+            "is_geographic": None, "nodata": None}
+    scale = tags.get(_MODEL_PIXEL_SCALE)
+    tie = tags.get(_MODEL_TIEPOINT)
+    if scale and len(scale) >= 2:
+        meta["xres"], meta["yres"] = float(scale[0]), float(scale[1])
+    if tie and len(tie) >= 6:
+        # tiepoint maps raster (I,J) → model (X,Y); anchor at pixel (0,0)
+        meta["x0"] = float(tie[3]) - float(tie[0]) * (meta["xres"] or 0.0)
+        meta["y0"] = float(tie[4]) + float(tie[1]) * (meta["yres"] or 0.0)
+    geo = tags.get(_GEO_KEY_DIRECTORY)
+    if geo and len(geo) >= 4:
+        n_keys = geo[3]
+        for k in range(n_keys):
+            key_id, loc, cnt, val = geo[4 + 4 * k : 8 + 4 * k]
+            if key_id == _GT_MODEL_TYPE and loc == 0:
+                meta["is_geographic"] = val == 2
+            elif key_id in (_GEOGRAPHIC_TYPE, _PROJECTED_CS_TYPE) and loc == 0:
+                meta["epsg"] = int(val)
+    nd = tags.get(_GDAL_NODATA)
+    if nd:
+        try:
+            meta["nodata"] = float(nd.rstrip(b"\x00").decode("ascii", "ignore").strip())
+        except ValueError:
+            pass
+    return grid, meta
+
+
+GEOTIFF_ROW_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, lon0 double, lat0 double, xres_m double, yres_m double, "
+    "crs int, is_geographic boolean"
+)
+
+
+def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None):
+    """list of .tif paths → the engine's canonical image+caption DataFrame,
+    using the built-in reader — the zero-dependency twin of
+    sources.geotiff.read_geotiff_table (same schema, same semantics: band-1
+    float32, nodata normalized to the −99999 sentinel, hard-fail on missing
+    CRS per reference core.py:60-61). Files open INSIDE mapInPandas on the
+    executors; the driver never touches pixel data."""
+    from pyspark.sql import functions as F
+
+    from dsm2dtm_spark import codecs
+
+    def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                with open(path, "rb") as f:
+                    grid, meta = read_geotiff(f.read())
+                if meta["epsg"] is None:
+                    raise ValueError(f"{path}: dataset has no CRS")
+                grid = grid.astype(np.float32)
+                nodata = meta["nodata"] if meta["nodata"] is not None else NODATA_DEFAULT
+                mask = np.isnan(grid) if np.isnan(nodata) else (grid == nodata) | np.isnan(grid)
+                grid = np.where(mask, np.float32(NODATA_DEFAULT), grid)
+                rows.append(
+                    {
+                        "image_id": path,
+                        "bytes": codecs.encode_raw_f32(grid),
+                        "w": int(grid.shape[1]),
+                        "h": int(grid.shape[0]),
+                        "fmt": "raw_f32",
+                        "caption": path,
+                        "phash": codecs.ahash64(grid),
+                        "lon0": float(meta["x0"] or 0.0),
+                        "lat0": float(meta["y0"] or 0.0),
+                        "xres_m": float(meta["xres"] or 1.0),
+                        "yres_m": float(meta["yres"] or 1.0),
+                        "crs": int(meta["epsg"]),
+                        "is_geographic": bool(meta["is_geographic"]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    if parallelism is None:
+        parallelism = min(len(paths), spark.sparkContext.defaultParallelism) or 1
+    pdf = pd.DataFrame({"path": paths})
+    return (
+        spark.createDataFrame(pdf)
+        .repartition(parallelism, F.col("path"))
+        .mapInPandas(load, GEOTIFF_ROW_SCHEMA)
+    )
+
+
+def write_geotiff_files(
+    dtm_rows,
+    out_dir: str,
+    nodata: float = NODATA_DEFAULT,
+) -> list[str]:
+    """DTM output rows (image_id, bytes, w, h, fmt, lon0/lat0/xres_m/yres_m,
+    crs, is_geographic when present) → one .tif per row under ``out_dir`` —
+    the sink half of the reference's GeoTIFF-out surface (core.py:191-204).
+    Runs distributed (mapInPandas writes on executors against a shared
+    filesystem); returns the written paths."""
+    import os
+
+    from dsm2dtm_spark import codecs
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = set(dtm_rows.columns)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                name = os.path.basename(str(row.image_id)).rsplit(".", 1)[0] or "raster"
+                path = os.path.join(out_dir, f"{name}_dtm.tif")
+                data = write_geotiff(
+                    grid,
+                    x0=float(getattr(row, "lon0", 0.0)),
+                    y0=float(getattr(row, "lat0", 0.0)),
+                    xres=float(getattr(row, "xres_m", 1.0)),
+                    yres=float(getattr(row, "yres_m", 1.0)),
+                    epsg=int(getattr(row, "crs", 32631)),
+                    nodata=nodata,
+                    is_geographic=bool(getattr(row, "is_geographic", False)),
+                )
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+                out.append({"image_id": row.image_id, "path": path})
+            yield pd.DataFrame(out)
+
+    needed = [c for c in ("image_id", "bytes", "w", "h", "fmt", "lon0", "lat0",
+                          "xres_m", "yres_m", "crs", "is_geographic") if c in cols]
+    written = dtm_rows.select(*needed).mapInPandas(dump, "image_id string, path string")
+    return [r.path for r in written.collect()]

@@ -32,56 +32,100 @@ def main():
         help="quarantine poison rows (null bytes + error column) instead of failing the job",
     )
     ap.add_argument("--tile-px", type=int, default=1024)
+    ap.add_argument(
+        "--input-format",
+        choices=["table", "geotiff"],
+        default="table",
+        help="'table' (snapshot-table root) or 'geotiff' (comma-separated "
+        ".tif globs, ingested via the built-in reader — or rasterio when "
+        "installed — exactly the reference's --dsm surface)",
+    )
+    ap.add_argument(
+        "--geotiff-out",
+        default=None,
+        help="also write one GeoTIFF per DTM row into this directory "
+        "(the reference's --out_dir surface; the snapshot table stays the "
+        "primary, resumable output)",
+    )
     ap.add_argument("--cores", type=int, default=None, help="local-mode core count (ignored under a cluster master)")
     args = ap.parse_args()
 
+    from dsm2dtm_spark import golden
+    from dsm2dtm_spark.plans import dtm_transform, resume_remaining
     from dsm2dtm_spark.session import get_spark
     from dsm2dtm_spark.sources import SnapshotTable
 
+    # validate BEFORE any work: an invalid radius must error even when the
+    # resume anti-join would leave nothing to process
+    golden.validate_job_params(args.radius, args.slope)
+
     spark = get_spark("dtm-job", cores=args.cores)
-    inp = SnapshotTable(args.input)
     out = SnapshotTable(args.output)
 
-    if args.tiled:
-        from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
-        from dsm2dtm_spark.plans import resume_remaining
+    if args.input_format == "geotiff":
+        import glob
 
-        src = inp.read(spark)
-        try:
-            done = out.read(spark)
-        except ValueError:
-            done = None
-        todo = resume_remaining(src, done)
-        n = todo.count()
-        if n:
-            out.write_dataframe(
-                tiled_dtm_transform(
-                    todo,
-                    tile_px=args.tile_px,
-                    radius_m=args.radius,
-                    slope=args.slope,
-                    init_threshold=args.init_threshold,
-                    max_threshold=args.max_threshold,
-                    permissive=args.permissive,
-                ),
-                summary={"rows": n, "op": "dtm-tiled"},
-            )
-        snap = out.current_snapshot()
+        from dsm2dtm_spark.sources.geotiff import read_geotiff_table
+
+        paths = sorted(p for pat in args.input.split(",") for p in glob.glob(pat))
+        if not paths:
+            raise SystemExit(f"no files match --input {args.input}")
+        src = read_geotiff_table(spark, paths)
     else:
-        from dsm2dtm_spark.plans import run_dtm_job
+        src = SnapshotTable(args.input).read(spark)
 
-        n, snap = run_dtm_job(
-            spark,
-            inp,
-            out,
-            radius_m=args.radius,
-            slope=args.slope,
-            init_threshold=args.init_threshold,
-            max_threshold=args.max_threshold,
-            permissive=args.permissive,
+    try:
+        done = out.read(spark)
+    except ValueError:
+        done = None
+    todo = resume_remaining(src, done)
+    n = todo.count()
+    if n:
+        if args.tiled:
+            from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
+
+            result = tiled_dtm_transform(
+                todo,
+                tile_px=args.tile_px,
+                radius_m=args.radius,
+                slope=args.slope,
+                init_threshold=args.init_threshold,
+                max_threshold=args.max_threshold,
+                permissive=args.permissive,
+            )
+        else:
+            result = dtm_transform(
+                todo,
+                radius_m=args.radius,
+                slope=args.slope,
+                init_threshold=args.init_threshold,
+                max_threshold=args.max_threshold,
+                permissive=args.permissive,
+            )
+        out.write_dataframe(result, summary={"rows": n, "op": "dtm-tiled" if args.tiled else "dtm"})
+    snap = out.current_snapshot()
+
+    tif_paths: list[str] = []
+    if args.geotiff_out:
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from dsm2dtm_spark.sources import tiffio
+
+        geo_cols = [c for c in ("lon0", "lat0", "xres_m", "yres_m", "crs", "is_geographic") if c in src.columns]
+        dtm_rows = out.read(spark)
+        if geo_cols:
+            dtm_rows = dtm_rows.join(src.select("image_id", *geo_cols), on="image_id")
+        tif_paths = tiffio.write_geotiff_files(dtm_rows, args.geotiff_out)
+
+    print(
+        json.dumps(
+            {
+                "processed": n,
+                "snapshot": snap.snapshot_id if snap else None,
+                "geotiffs_written": len(tif_paths) if args.geotiff_out else None,
+            }
         )
-
-    print(json.dumps({"processed": n, "snapshot": snap.snapshot_id if snap else None}))
+    )
     spark.stop()
 
 
