@@ -39,7 +39,9 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_raw_f32(grid: np.ndarray) -> bytes:
-    return np.ascontiguousarray(grid, dtype="<f4").tobytes()
+    # tobytes() itself emits C order for non-contiguous input, so a separate
+    # ascontiguousarray here would just add a second full copy
+    return np.asarray(grid, dtype="<f4").tobytes()
 
 
 def decode_raw_f32(data: bytes, h: int, w: int) -> np.ndarray:

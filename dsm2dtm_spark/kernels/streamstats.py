@@ -165,6 +165,11 @@ def _block_mags(source: BlockSource, res: float, nodata: float):
         yield mag[sl], blk[sl] != nodata
 
 
+# below this pixel count the fast path gathers all magnitudes at once
+# (~256 MB float32 worst case at the limit — well inside a task's budget)
+MAG_GATHER_LIMIT = 64 * 1024 * 1024
+
+
 def chunked_min_and_slope(
     buf: bytes,
     h: int,
@@ -181,6 +186,37 @@ def chunked_min_and_slope(
     if res < 0.5:
         raise ValueError("chunked stats cover the standard path only (res ≥ 0.5 m)")
     source = block_source_for(buf, h, w, fmt, block_rows)
+
+    # ---- single-sweep fast path: when the finite magnitudes fit in task
+    # memory (everything but the gigapixel regime), compute min + gradient
+    # magnitudes in ONE pass over the blocks and take np.median directly —
+    # literally golden.terrain_slope's final step, so parity is by
+    # construction. The 3-sweep histogram selection below is kept for grids
+    # whose magnitude set is itself the memory hazard (it recomputes the
+    # gradient per sweep — 3× the arithmetic — as the price of O(block) RAM).
+    if h >= 2 and w >= 2 and h * w <= MAG_GATHER_LIMIT:
+        vmin = np.inf
+        n_valid = 0
+        keep = []
+        for y0, y1, lo, blk in source():
+            sel = blk[y0 - lo : y0 - lo + (y1 - y0)]
+            valid = sel != nodata
+            n_valid += int(valid.sum())
+            if valid.any():
+                vmin = min(vmin, float(sel[valid].min()))
+            as_nan = blk.copy()
+            as_nan[as_nan == nodata] = np.nan
+            dy, dx = np.gradient(as_nan)
+            mag = (np.sqrt(dy**2 + dx**2) / res)[y0 - lo : y0 - lo + (y1 - y0)]
+            finite = mag[valid]
+            keep.append(finite[~np.isnan(finite)])
+        if n_valid == 0:
+            return (float(vmin) if np.isfinite(vmin) else float("nan"), PMF_BASE_SLOPE)
+        allmag = np.concatenate(keep)
+        if allmag.size == 0:
+            return float(vmin), PMF_BASE_SLOPE
+        med = np.median(allmag)
+        return float(vmin), float(max(0.01, min(med, 1.0)))
 
     # ---- pass 0: valid min, finite-magnitude count and max
     vmin = np.inf

@@ -280,7 +280,7 @@ def emit_tiles(
                 out["cut_x"].append(cut_x)
                 out["cut_h"].append(cut_arr.shape[0])
                 out["cut_w"].append(cut_arr.shape[1])
-                out["payload"].append(codecs.encode_raw_f32(np.ascontiguousarray(cut_arr)))
+                out["payload"].append(codecs.encode_raw_f32(cut_arr))
                 out["fmt"].append(row.fmt)
                 out["caption"].append(row.caption)
                 out["img_h"].append(h)
@@ -327,7 +327,13 @@ def process_tiles(
     exists only for the skew A/B benchmark (scripts/skew_ab.py)."""
     joined = tiles.join(F.broadcast(stats), on="image_id", how="inner")
     keys = [F.col("cell_id"), F.col("salt")] if salted else [F.col("cell_id")]
-    shuffled = joined.repartition(*keys)
+    # EXPLICIT partition count: with a bare repartition(cols), AQE coalesces
+    # this shuffle by BYTE size (~64 MB targets) — but a partition's cost
+    # here is pixel-kernel CPU per tile, not bytes, so coalescing starved
+    # the stage to single-digit tasks (measured: 192 tiles → 9 partitions →
+    # zero 2→8-core scaling). A user-specified count is not AQE-coalescible.
+    n_parts = max(2 * tiles.sparkSession.sparkContext.defaultParallelism, N_SALT)
+    shuffled = joined.repartition(n_parts, *keys)
 
     out_schema = StructType(
         [f for f in TILE_SCHEMA.fields if f.name not in ("payload", "salt", "cut_y", "cut_x", "cut_h", "cut_w")]
@@ -338,7 +344,12 @@ def process_tiles(
         for pdf in batches:
             out = {k: [] for k in out_schema.fieldNames()}
             for row in pdf.itertuples(index=False):
-                cut = codecs.decode_raw_f32(row.payload, int(row.cut_h), int(row.cut_w))
+                # zero-copy view: pmf/refine/smooth never write to their
+                # input (they build a min-filled working copy), so the
+                # read-only Arrow buffer is safe to hand them directly
+                cut = np.frombuffer(row.payload, dtype="<f4", count=int(row.cut_h) * int(row.cut_w)).reshape(
+                    int(row.cut_h), int(row.cut_w)
+                )
                 mn = None if np.isnan(row.min_valid) else float(row.min_valid)
                 ground = golden.pmf(
                     cut, NODATA_DEFAULT, int(row.init_window), int(row.max_window),
@@ -363,7 +374,7 @@ def process_tiles(
                 out["caption"].append(row.caption)
                 out["img_h"].append(int(row.img_h))
                 out["img_w"].append(int(row.img_w))
-                out["core_bytes"].append(codecs.encode_raw_f32(np.ascontiguousarray(core)))
+                out["core_bytes"].append(codecs.encode_raw_f32(core))
             yield pd.DataFrame(out)
 
     return shuffled.mapInPandas(run, out_schema)
@@ -392,7 +403,10 @@ def stitch(processed: DataFrame) -> DataFrame:
         w = int(pdf.img_w.iloc[0])
         canvas = np.full((h, w), NODATA_DEFAULT, dtype=np.float32)
         for row in pdf.itertuples(index=False):
-            core = codecs.decode_raw_f32(row.core_bytes, int(row.core_h), int(row.core_w))
+            # zero-copy view: the core is only read into the canvas
+            core = np.frombuffer(row.core_bytes, dtype="<f4", count=row.core_h * row.core_w).reshape(
+                int(row.core_h), int(row.core_w)
+            )
             canvas[row.core_y : row.core_y + row.core_h, row.core_x : row.core_x + row.core_w] = core
         fmt = pdf.fmt.iloc[0]
         return pd.DataFrame(
@@ -406,6 +420,12 @@ def stitch(processed: DataFrame) -> DataFrame:
             }
         )
 
+    # pre-partition on the grouping key with an EXPLICIT count: the groupBy
+    # reuses this hash partitioning (no second exchange), and — unlike the
+    # AQE-sized exchange the groupBy would otherwise insert — it can't be
+    # byte-coalesced below the core count (assembly cost is rows, not bytes)
+    n_parts = max(2 * processed.sparkSession.sparkContext.defaultParallelism, 1)
+    processed = processed.repartition(n_parts, "image_id")
     return processed.groupBy("image_id").applyInPandas(assemble, STITCHED_SCHEMA)
 
 

@@ -80,12 +80,23 @@ def ensure_tiled_data():
     pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), TILED_DATA, row_group_size=1)
 
 
+def wait_calm(limit: float = 1.5, timeout: float = 240.0) -> float:
+    """Block until 1-min loadavg < limit (bounded); return the loadavg seen.
+    BENCH/PROTOCOL.md rule 1: decaying executors from the previous core
+    count otherwise contaminate the next measurement."""
+    t0 = time.time()
+    while os.getloadavg()[0] > limit and time.time() - t0 < timeout:
+        time.sleep(5)
+    return round(os.getloadavg()[0], 2)
+
+
 def measure(cores: int) -> dict:
     from pyspark.sql import functions as F
 
     from dsm2dtm_spark.plans import dtm_transform
     from dsm2dtm_spark.session import get_spark
 
+    load_at_start = wait_calm()
     spark = get_spark(f"scaling-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     images = spark.read.parquet(DATA)
@@ -123,7 +134,7 @@ def measure(cores: int) -> dict:
     big = spark.read.parquet(TILED_DATA)
     tiled_dtm_transform(big.limit(1), tile_px=512, radius_m=15.0).count()  # warm
     tiled_walls = []
-    for _ in range(3):  # min-of-3, same rationale as above
+    for _ in range(5):  # min-of-5: the tiled plan is the noisiest job here
         t0 = time.time()
         tiled_dtm_transform(big, tile_px=512, radius_m=15.0).count()
         tiled_walls.append(round(time.time() - t0, 2))
@@ -140,6 +151,7 @@ def measure(cores: int) -> dict:
         "raw_runs_sec": walls,
         "tiled_sec": round(tiled_wall, 2),
         "tiled_raw_runs_sec": tiled_walls,
+        "loadavg_at_start": load_at_start,
     }
 
 

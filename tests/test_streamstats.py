@@ -51,6 +51,35 @@ def test_block_size_invariance():
         assert chunked_min_and_slope(codecs.encode_raw_f32(g), 211, 97, 1.0, NODATA, block_rows=br) == ref
 
 
+def test_histogram_path_still_bitexact(monkeypatch):
+    # the single-gather fast path now serves everything under
+    # MAG_GATHER_LIMIT px; force the gigapixel histogram-selection path on a
+    # small grid and pin it to golden too (it must stay correct — it is the
+    # path that actually runs on rasters whose magnitudes don't fit)
+    from dsm2dtm_spark.kernels import streamstats
+
+    monkeypatch.setattr(streamstats, "MAG_GATHER_LIMIT", 0)
+    rng = np.random.default_rng(17)
+    for nodata_frac in (0.0, 0.25):
+        g = (100 + rng.normal(0, 0.2, (211, 97))).astype(np.float32)
+        if nodata_frac:
+            g[rng.random(g.shape) < nodata_frac] = NODATA
+        check(g, 1.0)
+
+
+def test_fast_and_histogram_paths_agree(monkeypatch):
+    from dsm2dtm_spark.kernels import streamstats
+
+    rng = np.random.default_rng(23)
+    g = (100 + rng.normal(0, 1.1, (256, 129))).astype(np.float32)
+    g[rng.random(g.shape) < 0.15] = NODATA
+    data = codecs.encode_raw_f32(g)
+    fast = streamstats.chunked_min_and_slope(data, 256, 129, 1.0, NODATA)
+    monkeypatch.setattr(streamstats, "MAG_GATHER_LIMIT", 0)
+    hist = streamstats.chunked_min_and_slope(data, 256, 129, 1.0, NODATA)
+    assert fast == hist
+
+
 def test_fine_resolution_rejected():
     g = np.zeros((20, 20), dtype=np.float32)
     with pytest.raises(ValueError):
