@@ -155,18 +155,23 @@ def block_source_for(buf: bytes, h: int, w: int, fmt: str, block_rows: int, halo
 def _block_mags(source: BlockSource, res: float, nodata: float):
     """Yield, per row-block [y0, y1), the float32 gradient magnitudes /res of
     exactly those rows (computed with a one-row halo so central differences
-    match the whole-image np.gradient) and the block's valid mask."""
+    match the whole-image np.gradient), the block's valid mask, and the raw
+    core rows. ONE home for the parity-critical golden arithmetic — both the
+    fast path and the histogram sweeps consume this."""
     for y0, y1, lo, blk in source():
         as_nan = blk.copy()
         as_nan[as_nan == nodata] = np.nan
         dy, dx = np.gradient(as_nan)
         mag = np.sqrt(dy**2 + dx**2) / res  # float32, same ops as golden
         sl = slice(y0 - lo, y0 - lo + (y1 - y0))
-        yield mag[sl], blk[sl] != nodata
+        yield mag[sl], blk[sl] != nodata, blk[sl]
 
 
-# below this pixel count the fast path gathers all magnitudes at once
-# (~256 MB float32 worst case at the limit — well inside a task's budget)
+# below this pixel count the fast path gathers all magnitudes at once.
+# True transient peak at the limit with a fully-valid grid: the gathered
+# magnitudes (~256 MB f32) + np.concatenate's output + np.median's partition
+# copy ≈ 2-3× that (keep is cleared between the latter two) — still inside a
+# multi-GB task budget, and gigapixel grids take the O(block) histogram path
 MAG_GATHER_LIMIT = 64 * 1024 * 1024
 
 
@@ -198,21 +203,16 @@ def chunked_min_and_slope(
         vmin = np.inf
         n_valid = 0
         keep = []
-        for y0, y1, lo, blk in source():
-            sel = blk[y0 - lo : y0 - lo + (y1 - y0)]
-            valid = sel != nodata
+        for mag, valid, sel in _block_mags(source, res, nodata):
             n_valid += int(valid.sum())
             if valid.any():
                 vmin = min(vmin, float(sel[valid].min()))
-            as_nan = blk.copy()
-            as_nan[as_nan == nodata] = np.nan
-            dy, dx = np.gradient(as_nan)
-            mag = (np.sqrt(dy**2 + dx**2) / res)[y0 - lo : y0 - lo + (y1 - y0)]
             finite = mag[valid]
             keep.append(finite[~np.isnan(finite)])
         if n_valid == 0:
             return (float(vmin) if np.isfinite(vmin) else float("nan"), PMF_BASE_SLOPE)
         allmag = np.concatenate(keep)
+        keep.clear()  # drop the per-block copies before median partitions
         if allmag.size == 0:
             return float(vmin), PMF_BASE_SLOPE
         med = np.median(allmag)
@@ -231,7 +231,7 @@ def chunked_min_and_slope(
             vmin = min(vmin, float(sel[valid].min()))
     if n_valid == 0 or h < 2 or w < 2:
         return (float(vmin) if np.isfinite(vmin) else float("nan"), PMF_BASE_SLOPE)
-    for mag, valid in _block_mags(source, res, nodata):
+    for mag, valid, _sel in _block_mags(source, res, nodata):
         finite = mag[valid]
         finite = finite[~np.isnan(finite)]
         n_finite += finite.size
@@ -249,7 +249,7 @@ def chunked_min_and_slope(
         return np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_buckets - 1)
 
     counts = np.zeros(n_buckets, dtype=np.int64)
-    for mag, valid in _block_mags(source, res, nodata):
+    for mag, valid, _sel in _block_mags(source, res, nodata):
         finite = mag[valid]
         finite = finite[~np.isnan(finite)]
         if finite.size:
@@ -259,7 +259,7 @@ def chunked_min_and_slope(
 
     # ---- pass B: gather exactly the in-bucket values, select exactly
     keep = []
-    for mag, valid in _block_mags(source, res, nodata):
+    for mag, valid, _sel in _block_mags(source, res, nodata):
         finite = mag[valid]
         finite = finite[~np.isnan(finite)]
         if finite.size:

@@ -332,7 +332,7 @@ def process_tiles(
     # here is pixel-kernel CPU per tile, not bytes, so coalescing starved
     # the stage to single-digit tasks (measured: 192 tiles → 9 partitions →
     # zero 2→8-core scaling). A user-specified count is not AQE-coalescible.
-    n_parts = max(2 * tiles.sparkSession.sparkContext.defaultParallelism, N_SALT)
+    n_parts = max(4 * tiles.sparkSession.sparkContext.defaultParallelism, N_SALT)
     shuffled = joined.repartition(n_parts, *keys)
 
     out_schema = StructType(
@@ -424,7 +424,7 @@ def stitch(processed: DataFrame) -> DataFrame:
     # reuses this hash partitioning (no second exchange), and — unlike the
     # AQE-sized exchange the groupBy would otherwise insert — it can't be
     # byte-coalesced below the core count (assembly cost is rows, not bytes)
-    n_parts = max(2 * processed.sparkSession.sparkContext.defaultParallelism, 1)
+    n_parts = max(4 * processed.sparkSession.sparkContext.defaultParallelism, 1)
     processed = processed.repartition(n_parts, "image_id")
     return processed.groupBy("image_id").applyInPandas(assemble, STITCHED_SCHEMA)
 

@@ -315,7 +315,11 @@ def write_geotiff_files(
     crs, is_geographic when present) → one .tif per row under ``out_dir`` —
     the sink half of the reference's GeoTIFF-out surface (core.py:191-204).
     Runs distributed (mapInPandas writes on executors against a shared
-    filesystem); returns the written paths."""
+    filesystem); returns the written paths. Quarantined rows (NULL bytes —
+    the permissive plans' poison-row marker) are skipped, not crashed on.
+    Filenames carry a short image_id digest so inputs sharing a basename
+    (a/site.tif and b/site.tif) cannot overwrite each other."""
+    import hashlib
     import os
 
     from dsm2dtm_spark import codecs
@@ -327,9 +331,12 @@ def write_geotiff_files(
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                if row.bytes is None:  # quarantined in permissive mode
+                    continue
                 grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 name = os.path.basename(str(row.image_id)).rsplit(".", 1)[0] or "raster"
-                path = os.path.join(out_dir, f"{name}_dtm.tif")
+                digest = hashlib.md5(str(row.image_id).encode()).hexdigest()[:8]
+                path = os.path.join(out_dir, f"{name}_{digest}_dtm.tif")
                 data = write_geotiff(
                     grid,
                     x0=float(getattr(row, "lon0", 0.0)),

@@ -70,7 +70,10 @@ def main():
         paths = sorted(p for pat in args.input.split(",") for p in glob.glob(pat))
         if not paths:
             raise SystemExit(f"no files match --input {args.input}")
-        src = read_geotiff_table(spark, paths)
+        # materialize the ingest ONCE: the plan below consumes src three
+        # times (resume count, transform, geotiff-out metadata join) and a
+        # mapInPandas ingest would re-read + re-decode every raster per use
+        src = read_geotiff_table(spark, paths).localCheckpoint(eager=True)
     else:
         src = SnapshotTable(args.input).read(spark)
 
@@ -107,12 +110,14 @@ def main():
 
     tif_paths: list[str] = []
     if args.geotiff_out:
-        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql import functions as F
 
         from dsm2dtm_spark.sources import tiffio
 
         geo_cols = [c for c in ("lon0", "lat0", "xres_m", "yres_m", "crs", "is_geographic") if c in src.columns]
         dtm_rows = out.read(spark)
+        if "error" in dtm_rows.columns:  # permissive: skip quarantined rows
+            dtm_rows = dtm_rows.filter(F.col("error").isNull())
         if geo_cols:
             dtm_rows = dtm_rows.join(src.select("image_id", *geo_cols), on="image_id")
         tif_paths = tiffio.write_geotiff_files(dtm_rows, args.geotiff_out)

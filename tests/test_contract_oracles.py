@@ -82,6 +82,35 @@ def test_every_query_has_oracle_or_documented_reason(spark):
     assert not (set(oracles) - set(qs)), "oracle without a query"
 
 
+def test_ann_oracle_decision_margins():
+    """The LSH/IVF oracles replay the engine's bucket/list decisions with
+    DuckDB's SEQUENTIAL list_dot_product, while the Arrow UDFs use numpy's
+    BLAS matmul — not bit-identical summations. A decision flips only when a
+    dot product sits within reduction-order error (~1e-13) of its boundary;
+    assert the committed fixtures keep every decision far from a boundary,
+    so the hash comparison cannot be ulp-flipped (CLAUDE.md arithmetic rule,
+    applied to discrete decisions)."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    e._ensure_contract_tables()
+    emb = pq.read_table(os.path.join(SF_DIR.replace("sf0.001", "sf0.01"), "embeddings.parquet"))
+    m = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+
+    planes_t = pq.read_table(e._ANN_PLANES_PQ).to_pylist()
+    planes = np.array([r["plane"] for r in planes_t], dtype=np.float64)  # (48, 64)
+    dots = m @ planes.T
+    assert np.abs(dots).min() > 1e-9, "an LSH sign bit sits on the boundary"
+
+    cents_t = pq.read_table(e._ANN_CENTROIDS_PQ).to_pylist()
+    cents = np.array([r["centroid"] for r in cents_t], dtype=np.float64)  # (16, 64)
+    sims = np.sort(m @ cents.T, axis=1)[:, ::-1]  # descending per vector
+    # corpus assignment uses rank-1 vs rank-2; query probing rank-4 vs rank-5
+    assert (sims[:, 0] - sims[:, 1]).min() > 1e-9, "IVF top-1 assignment on a boundary"
+    assert (sims[:, 3] - sims[:, 4]).min() > 1e-9, "IVF nprobe-4 cut on a boundary"
+
+
 def test_contract_tables_match_regeneration(tmp_path):
     """The committed data/contract parquet must equal fresh generation — the
     oracle files and the seeded generator cannot drift apart silently."""

@@ -152,6 +152,42 @@ class TestGeoTiffIngest:
         back = codecs.decode(bytes(row.bytes), 60, 60, "raw_f32")
         assert back[0, 0] == NODATA_DEFAULT  # NaN → sentinel, never smears
 
+    def test_sink_skips_quarantined_rows(self, spark, tmp_path):
+        # permissive plans mark poison rows with bytes=NULL; the sink must
+        # skip them, not crash the whole export after the main job succeeded
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["ok", "poisoned"],
+                "bytes": [tiffio.np.zeros((4, 4), dtype="f4").tobytes(), None],
+                "w": [4, 4],
+                "h": [4, 4],
+                "fmt": ["raw_f32", "raw_f32"],
+            }
+        )
+        outd = str(tmp_path / "sink")
+        paths = tiffio.write_geotiff_files(spark.createDataFrame(pdf), outd)
+        assert len(paths) == 1 and "ok" in paths[0]
+
+    def test_sink_duplicate_basenames_do_not_collide(self, spark, tmp_path):
+        # a/site.tif and b/site.tif must produce two distinct outputs
+        import pandas as pd
+
+        g = tiffio.np.arange(16, dtype="f4").reshape(4, 4)
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["a/site.tif", "b/site.tif"],
+                "bytes": [g.tobytes(), (g + 1).tobytes()],
+                "w": [4, 4],
+                "h": [4, 4],
+                "fmt": ["raw_f32", "raw_f32"],
+            }
+        )
+        outd = str(tmp_path / "dups")
+        paths = tiffio.write_geotiff_files(spark.createDataFrame(pdf), outd)
+        assert len(paths) == 2 and len(set(paths)) == 2
+
     def test_write_geotiff_files_sink_roundtrip(self, spark, tmp_path):
         # full reference job shape: .tif in → DTM → .tif out → re-ingest equal
         from dsm2dtm_spark import codecs, golden
