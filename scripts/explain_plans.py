@@ -84,6 +84,19 @@ def main():
         )
     )
 
+    big = spark.createDataFrame(synth.image_table(2, seed=3, sizes=(256,), fmts=("raw_f32",)).drop(columns=["scenario"]))
+    sections.append(
+        (
+            "Tiled DTM plan (halo exchange: explicit-count salted shuffle)",
+            "The repartition feeding the tile-processing MapInPandas must carry a "
+            "USER-SPECIFIED partition count (REPARTITION_BY_NUM in the plan): a bare "
+            "repartition(cols) is AQE-coalescible by byte size, which starves the "
+            "CPU-per-tile stage to single-digit tasks (round-3 root cause — 192 tiles "
+            "collapsed to 9 partitions). Same for the stitch groupBy's pre-partition.",
+            fmt(tiling.tiled_dtm_transform(big, tile_px=128, radius_m=40.0, route_coarse=False)),
+        )
+    )
+
     emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
     from dsm2dtm_spark.operators import simsearch
 

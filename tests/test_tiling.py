@@ -253,6 +253,22 @@ class TestTiledPermissive:
         assert rows[std.image_id.iloc[0]].error is None
 
 
+class TestPlanShape:
+    def test_halo_shuffle_is_not_aqe_coalescible(self, spark):
+        """Round-3 root cause: a bare repartition(cols) feeding the tile
+        kernel was AQE-coalesced by BYTE size down to single-digit tasks
+        (192 tiles → 9 partitions → no core scaling). The halo exchange and
+        the stitch pre-partition must stay USER-SPECIFIED counts
+        (REPARTITION_BY_NUM), which AQE cannot coalesce."""
+        pdf = big_image_pdf().iloc[:1]
+        sdf = spark.createDataFrame(pdf)
+        plan = (
+            tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS, route_coarse=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2000]
+
+
 class TestImageStats:
     def test_stats_match_golden_params(self, spark):
         pdf = big_image_pdf().iloc[:1]
