@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) — the reference's stress/property style
+(SURVEY.md §5 level 3) applied to the engine's pure kernels: random inputs,
+invariants that must hold for ALL of them, shrinking on failure. No Spark
+session needed — these pin the numpy/stdlib layers every Spark path sits on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dsm2dtm_spark import codecs
+from dsm2dtm_spark.operators import cellindex
+from dsm2dtm_spark.params import NODATA_DEFAULT
+from dsm2dtm_spark.sources import tiffio
+
+# keep runs fast and deterministic in CI: bounded examples, no deadline
+# (Spark-adjacent numpy work can blip over hypothesis's default 200 ms)
+FAST = settings(max_examples=60, deadline=None)
+
+
+grids = st.tuples(
+    st.integers(min_value=1, max_value=40),  # h
+    st.integers(min_value=1, max_value=40),  # w
+    st.integers(min_value=0, max_value=2**32 - 1),  # seed
+    st.floats(min_value=0.0, max_value=0.5),  # nodata fraction
+)
+
+
+def _grid(h, w, seed, nodata_frac):
+    rng = np.random.default_rng(seed)
+    g = (rng.normal(100, 25, (h, w))).astype(np.float32)
+    if nodata_frac:
+        g[rng.random((h, w)) < nodata_frac] = NODATA_DEFAULT
+    return g
+
+
+class TestTiffProperties:
+    @FAST
+    @given(grids)
+    def test_roundtrip_identity(self, hwsf):
+        h, w, seed, frac = hwsf
+        g = _grid(h, w, seed, frac)
+        data = tiffio.write_geotiff(g, x0=1.5, y0=2.5, xres=0.5, yres=0.25, epsg=32631)
+        back, meta = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(back, g)
+        assert (meta["x0"], meta["y0"], meta["xres"], meta["yres"]) == (1.5, 2.5, 0.5, 0.25)
+        assert meta["epsg"] == 32631
+
+    @FAST
+    @given(st.binary(min_size=0, max_size=64))
+    def test_garbage_never_crashes_uncontrolled(self, junk):
+        # arbitrary bytes must raise ValueError (a typed, catchable error for
+        # the permissive quarantine), never segfault/IndexError/struct.error
+        try:
+            tiffio.read_geotiff(junk)
+        except ValueError:
+            pass
+
+    @FAST
+    @given(grids)
+    def test_truncated_payload_detected(self, hwsf):
+        h, w, seed, frac = hwsf
+        if h * w < 2:
+            return
+        g = _grid(h, w, seed, frac)
+        data = tiffio.write_geotiff(g, 0, 0, 1.0, 1.0)
+        try:
+            tiffio.read_geotiff(data[: len(data) - h * w * 2])  # cut half the pixels
+        except ValueError:
+            pass  # either a clean error ...
+        # ... or, if the cut only removed trailing strips the reader doesn't
+        # need (impossible here since strips are last), equality would hold.
+
+
+class TestCodecProperties:
+    @FAST
+    @given(grids)
+    def test_raw_f32_and_png16_roundtrip(self, hwsf):
+        h, w, seed, frac = hwsf
+        g = _grid(h, w, seed, frac)
+        np.testing.assert_array_equal(codecs.decode(codecs.encode(g, "raw_f32"), h, w, "raw_f32"), g)
+        # png16 quantizes to 65535 levels of the value range: error bounded
+        back = codecs.decode(codecs.encode(g, "png16"), h, w, "png16")
+        valid = g != NODATA_DEFAULT
+        np.testing.assert_array_equal(back == NODATA_DEFAULT, ~valid)
+        if valid.any():
+            rng_v = float(g[valid].max() - g[valid].min())
+            atol = max(rng_v / 65534.0, 1e-6)
+            np.testing.assert_allclose(back[valid], g[valid], rtol=0, atol=atol)
+
+    @FAST
+    @given(grids)
+    def test_qz8_psnr_bound_holds(self, hwsf):
+        h, w, seed, frac = hwsf
+        g = _grid(h, w, seed, frac)
+        valid = g != NODATA_DEFAULT
+        if valid.sum() < 2:
+            return
+        back = codecs.decode(codecs.encode(g, "qz8"), h, w, "qz8")
+        # the engine's lossy-codec contract: PSNR >= 40 dB on valid pixels
+        assert codecs.psnr(g, back) >= 40.0
+
+
+class TestCellIndexProperties:
+    lonlats = st.tuples(
+        st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+        st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+        st.integers(min_value=1, max_value=15),
+    )
+
+    @FAST
+    @given(lonlats)
+    def test_res_tag_and_parent_chain(self, lls):
+        lon, lat, res = lls
+        cell = int(cellindex.encode_cells(np.array([lon]), np.array([lat]), res)[0])
+        assert cell & 31 == res  # res tag in the low bits
+        # parent at every coarser level is itself the parent's own encode-
+        # compatible ancestor: parent(parent(c, r2), r1) == parent(c, r1)
+        for r2 in range(1, res + 1):
+            p2 = int(cellindex.parent_cell(np.array([cell]), r2)[0])
+            assert p2 & 31 == r2
+            for r1 in range(1, r2 + 1):
+                a = int(cellindex.parent_cell(np.array([cell]), r1)[0])
+                b = int(cellindex.parent_cell(np.array([p2]), r1)[0])
+                assert a == b, (lon, lat, res, r2, r1)
+
+    @FAST
+    @given(lonlats)
+    def test_same_point_same_cell_and_containment(self, lls):
+        lon, lat, res = lls
+        c1 = int(cellindex.encode_cells(np.array([lon]), np.array([lat]), res)[0])
+        c2 = int(cellindex.encode_cells(np.array([lon]), np.array([lat]), res)[0])
+        assert c1 == c2  # deterministic
+        # encoding directly at a coarser res == taking the parent
+        for r in range(1, res + 1):
+            direct = int(cellindex.encode_cells(np.array([lon]), np.array([lat]), r)[0])
+            via_parent = int(cellindex.parent_cell(np.array([c1]), r)[0])
+            assert direct == via_parent, (lon, lat, res, r)

@@ -146,3 +146,51 @@ class TestWindowedWatermark:
         assert got["2026-01-01 00:20:00"] == (1, 5.0)  # late 00:22 row landed in its window
         assert got["2026-01-01 00:00:00"] == (1, 1.0)  # too-late 00:05 row dropped (window closed)
         assert got["2026-01-01 00:30:00"] == (1, 1.0)
+
+
+class TestSessionWindows:
+    SCHEMA = "ts timestamp, event_type string, value double"
+    _write = TestWindowedWatermark._write
+
+    def test_batch_form_merges_by_gap(self, spark):
+        import pandas as pd
+
+        from dsm2dtm_spark.streaming.windowed import session_window_counts
+
+        pdf = pd.DataFrame(
+            {
+                # two bursts 40 min apart → two sessions at a 30 min gap
+                "ts": pd.to_datetime(
+                    ["2026-01-01 00:00", "2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 00:55"]
+                ),
+                "event_type": ["a"] * 4,
+                "value": [1.0, 2.0, 4.0, 8.0],
+            }
+        )
+        out = {(r.session_start, r.event_type): (r.n, r.sum_value) for r in
+               session_window_counts(spark.createDataFrame(pdf)).collect()}
+        assert out[("2026-01-01 00:00:00", "a")] == (2, 3.0)
+        assert out[("2026-01-01 00:50:00", "a")] == (2, 12.0)
+
+    def test_streaming_sessions_merge_and_late_row_extends(self, spark, tmp_path):
+        from dsm2dtm_spark.streaming.windowed import run_session_stream
+
+        d = tmp_path / "ev"
+        d.mkdir()
+        ck = str(tmp_path / "ck")
+        outd = str(tmp_path / "out")
+        # batch 1: one burst + a far-future row to advance the watermark past
+        # the burst's session end (00:10 + 30min gap < watermark 02:00-10min)
+        self._write(d, "a.parquet", [("2026-01-01 00:00", "a", 1.0),
+                                     ("2026-01-01 00:10", "a", 2.0),
+                                     ("2026-01-01 02:00", "a", 0.5)])
+        run_session_stream(spark, str(d), ck, outd, self.SCHEMA)
+        # batch 2: push the watermark far enough to close the 02:00 session
+        self._write(d, "b.parquet", [("2026-01-01 05:00", "a", 0.25)])
+        run_session_stream(spark, str(d), ck, outd, self.SCHEMA)
+        self._write(d, "c.parquet", [("2026-01-01 09:00", "a", 0.125)])
+        run_session_stream(spark, str(d), ck, outd, self.SCHEMA)
+        got = {r.session_start: (r.n, r.sum_value) for r in spark.read.parquet(outd).collect()}
+        assert got["2026-01-01 00:00:00"] == (2, 3.0)  # burst merged into ONE session
+        assert got["2026-01-01 02:00:00"] == (1, 0.5)
+        assert got["2026-01-01 05:00:00"] == (1, 0.25)

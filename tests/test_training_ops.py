@@ -380,6 +380,36 @@ class TestMultimodal:
         assert all(bytes(r.bytes)[0] == r.frame_idx for r in out)
 
 
+class TestDedupCorpusPipeline:
+    def test_stage_semantics_on_controlled_corpus(self, spark):
+        """jobs/dedup_corpus.dedup_pipeline: quality gate → exact dedup →
+        MinHash near-dups → CC → keep-leader, with per-stage counts."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/jobs")
+        from dedup_corpus import dedup_pipeline
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        rows = [
+            (1, base),
+            (2, base),  # exact dup of 1 → dropped at exact stage
+            (3, base.replace("today", "tonight")),  # near dup of 1 → CC drops (leader 1)
+            (4, base.replace("quick", "slow").replace("today", "tonight")),  # near dup of 3 (chain)
+            (5, "zz"),  # fails min_tokens
+            (6, "completely different text about spark engines for terrain processing"),
+        ]
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        survivors, counts = dedup_pipeline(docs, threshold=0.6, min_tokens=3)
+        kept = {r.doc_id for r in survivors.collect()}
+        assert counts["input"] == 6
+        assert counts["after_quality"] == 5  # doc 5 gated out
+        assert counts["after_exact_dedup"] == 4  # doc 2 removed
+        assert 1 in kept and 6 in kept  # cluster leader + unrelated doc
+        assert 2 not in kept and 5 not in kept
+        assert 3 not in kept  # near-dup chain collapsed to its leader
+        assert counts["survivors"] == len(kept)
+
+
 class TestCosineDedup:
     def test_leader_kept_duplicates_dropped(self, spark):
         rng = np.random.default_rng(21)
