@@ -148,11 +148,20 @@ def write_geotiff(
     return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
 
 
-def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
+def read_geotiff(data) -> tuple[np.ndarray, dict]:
     """Decode an uncompressed single-band TIFF; returns (grid, meta) with
     meta = {x0, y0, xres, yres, epsg, is_geographic, nodata} (geo fields None
     when the file carries no GeoTIFF keys — callers decide whether a missing
-    CRS is fatal, mirroring reference core.py:60-61)."""
+    CRS is fatal, mirroring reference core.py:60-61).
+
+    Accepts bytes, a filesystem path, or an open binary file handle — the
+    engine twin of the reference's path-or-open-dataset ingest surface
+    (core.py:126-136)."""
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    elif hasattr(data, "read"):  # open binary handle
+        data = data.read()
     if len(data) < 8:
         raise ValueError("not a TIFF: truncated header")
     order = data[:2]

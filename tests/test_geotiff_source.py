@@ -32,6 +32,19 @@ class TestTiffCodec:
         assert meta["epsg"] == 32631 and meta["is_geographic"] is False
         assert meta["nodata"] == NODATA_DEFAULT
 
+    def test_accepts_path_and_open_handle(self, tmp_path):
+        # reference core.py:126-136 takes a path OR an open dataset; the
+        # engine twin accepts bytes, a path string, or a binary handle
+        g = _grid()
+        p = str(tmp_path / "h.tif")
+        data = tiffio.write_geotiff(g, 0, 0, 1.0, 1.0, epsg=32631)
+        with open(p, "wb") as f:
+            f.write(data)
+        for src in (data, p, open(p, "rb")):
+            back, meta = tiffio.read_geotiff(src)
+            np.testing.assert_array_equal(back, g)
+            assert meta["epsg"] == 32631
+
     def test_geographic_crs_flag(self):
         data = tiffio.write_geotiff(_grid(), x0=2.0, y0=46.0, xres=0.001, yres=0.001, epsg=4326)
         _, meta = tiffio.read_geotiff(data)
