@@ -337,13 +337,25 @@ def process_tiles(
 
     out_schema = StructType(
         [f for f in TILE_SCHEMA.fields if f.name not in ("payload", "salt", "cut_y", "cut_x", "cut_h", "cut_w")]
-        + [StructField("core_bytes", BinaryType())]
+        + [
+            StructField("core_bytes", BinaryType()),
+            # per-tile lineage/throughput (north_rule): which task computed
+            # this tile and how long the kernel stack took
+            StructField("wall_ms", DoubleType()),
+            StructField("partition_id", IntegerType()),
+        ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
             out = {k: [] for k in out_schema.fieldNames()}
             for row in pdf.itertuples(index=False):
+                t0 = time.perf_counter()
                 # zero-copy view: pmf/refine/smooth never write to their
                 # input (they build a min-filled working copy), so the
                 # read-only Arrow buffer is safe to hand them directly
@@ -375,9 +387,24 @@ def process_tiles(
                 out["img_h"].append(int(row.img_h))
                 out["img_w"].append(int(row.img_w))
                 out["core_bytes"].append(codecs.encode_raw_f32(core))
+                out["wall_ms"].append((time.perf_counter() - t0) * 1000.0)
+                out["partition_id"].append(pid)
             yield pd.DataFrame(out)
 
     return shuffled.mapInPandas(run, out_schema)
+
+
+def tiled_lineage_metrics(processed: DataFrame) -> DataFrame:
+    """Per-partition lineage/throughput over processed TILE rows (north_rule
+    metrics, the tiled twin of plans.lineage_metrics): which tasks computed
+    how many tiles/pixels and at what rate."""
+    px = F.col("core_h").cast("long") * F.col("core_w").cast("long")
+    return processed.groupBy("partition_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(px).alias("pixels"),
+        F.round(F.sum("wall_ms") / 1000.0, 3).alias("compute_sec"),
+        F.round(F.sum(px) / F.sum("wall_ms") / 1000.0, 3).alias("mpix_per_sec"),
+    )
 
 
 STITCHED_SCHEMA = StructType(
@@ -388,6 +415,11 @@ STITCHED_SCHEMA = StructType(
         StructField("h", IntegerType()),
         StructField("fmt", StringType()),
         StructField("caption", StringType()),
+        # lineage/throughput carried from the tile stage (north_rule):
+        # tiles assembled, summed kernel time, and the stitch task's id
+        StructField("n_tiles", LongType()),
+        StructField("compute_ms", DoubleType()),
+        StructField("partition_id", IntegerType()),
     ]
 )
 
@@ -399,6 +431,8 @@ def stitch(processed: DataFrame) -> DataFrame:
     assignment table)."""
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+
         h = int(pdf.img_h.iloc[0])
         w = int(pdf.img_w.iloc[0])
         canvas = np.full((h, w), NODATA_DEFAULT, dtype=np.float32)
@@ -417,6 +451,9 @@ def stitch(processed: DataFrame) -> DataFrame:
                 "h": [h],
                 "fmt": [fmt],
                 "caption": [pdf.caption.iloc[0]],
+                "n_tiles": [int(len(pdf))],
+                "compute_ms": [float(pdf.wall_ms.sum())],
+                "partition_id": [TaskContext.get().partitionId() if TaskContext.get() else -1],
             }
         )
 
@@ -513,13 +550,15 @@ def tiled_dtm_transform(
             "h",
             "fmt",
             "caption",
+            F.lit(None).cast("long").alias("n_tiles"),
+            F.lit(None).cast("double").alias("compute_ms"),
+            F.lit(None).cast("int").alias("partition_id"),
             "error",
         )
         out = out.unionByName(quarantined)
     if route_coarse:
         from dsm2dtm_spark.plans import dtm_transform
 
-        cols = list(STITCHED_SCHEMA.fieldNames()) + (["error"] if permissive else [])
         coarse_out = dtm_transform(
             coarse_rows,
             radius_m=radius_m,
@@ -527,7 +566,20 @@ def tiled_dtm_transform(
             init_threshold=init_threshold,
             max_threshold=max_threshold,
             permissive=permissive,
-        ).select(*cols)
+        ).select(
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            # coarse rows are whole-image by construction: one "tile",
+            # wall_ms from the whole-image UDF, that task's partition id
+            F.lit(1).cast("long").alias("n_tiles"),
+            F.col("wall_ms").alias("compute_ms"),
+            "partition_id",
+            *(["error"] if permissive else []),
+        )
         out = out.unionByName(coarse_out)
     return out
 

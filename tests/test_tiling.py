@@ -253,6 +253,29 @@ class TestTiledPermissive:
         assert rows[std.image_id.iloc[0]].error is None
 
 
+class TestTiledLineage:
+    def test_stitched_rows_carry_lineage_and_metrics_aggregate(self, spark):
+        """north_rule: per-partition lineage + throughput metrics on the
+        TILED path too (the whole-image plan had them since r1)."""
+        pdf = big_image_pdf().iloc[:2]
+        sdf = spark.createDataFrame(pdf)
+        out = tiling.tiled_dtm_transform(sdf, tile_px=128, radius_m=RADIUS).collect()
+        for r in out:
+            assert r.n_tiles == 16  # 512² / 128² cores assembled
+            assert r.compute_ms > 0
+            assert r.partition_id >= 0
+        # pre-stitch tile rows aggregate per task
+        stats = tiling.image_stats(sdf, RADIUS, None).localCheckpoint(eager=True)
+        from pyspark.sql import functions as F
+        tiles = tiling.emit_tiles(
+            sdf.join(F.broadcast(stats.select("image_id", "halo_px")), on="image_id"), 128
+        )
+        m = tiling.tiled_lineage_metrics(tiling.process_tiles(tiles, stats)).collect()
+        assert sum(r.n_tiles for r in m) == 32
+        assert sum(r.pixels for r in m) == 2 * 512 * 512  # cores partition each image
+        assert all(r.compute_sec > 0 and r.mpix_per_sec > 0 for r in m)
+
+
 class TestPlanShape:
     def test_halo_shuffle_is_not_aqe_coalescible(self, spark):
         """Round-3 root cause: a bare repartition(cols) feeding the tile
