@@ -328,10 +328,12 @@ def process_tiles(
     joined = tiles.join(F.broadcast(stats), on="image_id", how="inner")
     keys = [F.col("cell_id"), F.col("salt")] if salted else [F.col("cell_id")]
     # EXPLICIT partition count: with a bare repartition(cols), AQE coalesces
-    # this shuffle by BYTE size (~64 MB targets) — but a partition's cost
-    # here is pixel-kernel CPU per tile, not bytes, so coalescing starved
-    # the stage to single-digit tasks (measured: 192 tiles → 9 partitions →
-    # zero 2→8-core scaling). A user-specified count is not AQE-coalescible.
+    # this shuffle to ~1 partition per core (parallelismFirst; measured: 192
+    # tiles → 9 partitions at 8 cores) — but a partition's cost here is
+    # pixel-kernel CPU per tile, so one task per core leaves zero slack for
+    # tile-count imbalance and nothing pipelines across waves. A
+    # user-specified count is not AQE-coalescible; several tasks per core
+    # restore balance.
     n_parts = max(4 * tiles.sparkSession.sparkContext.defaultParallelism, N_SALT)
     shuffled = joined.repartition(n_parts, *keys)
 

@@ -90,9 +90,10 @@ def main():
             "Tiled DTM plan (halo exchange: explicit-count salted shuffle)",
             "The repartition feeding the tile-processing MapInPandas must carry a "
             "USER-SPECIFIED partition count (REPARTITION_BY_NUM in the plan): a bare "
-            "repartition(cols) is AQE-coalescible by byte size, which starves the "
-            "CPU-per-tile stage to single-digit tasks (round-3 root cause — 192 tiles "
-            "collapsed to 9 partitions). Same for the stitch groupBy's pre-partition.",
+            "repartition(cols) is AQE-coalesced to ~1 partition per core (measured: "
+            "192 tiles → 9 partitions at 8 cores), leaving zero slack for tile-count "
+            "imbalance in a CPU-per-tile stage (round-3 root cause). Same for the "
+            "stitch groupBy's pre-partition.",
             fmt(tiling.tiled_dtm_transform(big, tile_px=128, radius_m=40.0, route_coarse=False)),
         )
     )

@@ -279,10 +279,11 @@ class TestTiledLineage:
 class TestPlanShape:
     def test_halo_shuffle_is_not_aqe_coalescible(self, spark):
         """Round-3 root cause: a bare repartition(cols) feeding the tile
-        kernel was AQE-coalesced by BYTE size down to single-digit tasks
-        (192 tiles → 9 partitions → no core scaling). The halo exchange and
-        the stitch pre-partition must stay USER-SPECIFIED counts
-        (REPARTITION_BY_NUM), which AQE cannot coalesce."""
+        kernel was AQE-coalesced to ~1 partition per core (192 tiles → 9
+        partitions at 8 cores — zero slack for tile-count imbalance in a
+        CPU-per-tile stage). The halo exchange and the stitch pre-partition
+        must stay USER-SPECIFIED counts (REPARTITION_BY_NUM), which AQE
+        cannot coalesce."""
         pdf = big_image_pdf().iloc[:1]
         sdf = spark.createDataFrame(pdf)
         plan = (
