@@ -205,8 +205,10 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     if int(one(_COMPRESSION, 1)) != 1:
         raise ValueError("compressed TIFF is not supported (entropy coding needs a library)")
-    if int(one(_SAMPLES_PER_PIXEL, 1)) != 1:
-        raise ValueError("multi-band TIFF is not supported — the engine reads band 1 rasters")
+    spp = int(one(_SAMPLES_PER_PIXEL, 1))
+    planar = int(one(_PLANAR_CONFIG, 1))
+    if spp > 1 and planar != 1:
+        raise ValueError("multi-band planar (PlanarConfiguration=2) TIFF is not supported")
     bits = int(one(_BITS_PER_SAMPLE, 1))
     sfmt = int(one(_SAMPLE_FORMAT, 1))
     dtype = {
@@ -221,12 +223,17 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     counts = tags.get(_STRIP_BYTE_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout tags")
+    bps = tags.get(_BITS_PER_SAMPLE)
+    if spp > 1 and isinstance(bps, list) and len(set(bps)) > 1:
+        raise ValueError("mixed per-band bit depths are not supported")
     buf = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-    expected = w * h * (bits // 8)
+    expected = w * h * spp * (bits // 8)
     if len(buf) < expected:
         raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
-    grid = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(h, w)
-    grid = grid.astype(grid.dtype.newbyteorder("="))  # native order for kernels
+    grid = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(h, w, spp)[
+        :, :, 0
+    ]  # band 1, like the reference's src.read(1) (core.py:68); chunky layout
+    grid = np.ascontiguousarray(grid.astype(grid.dtype.newbyteorder("=")))  # native order for kernels
 
     meta = {"x0": None, "y0": None, "xres": None, "yres": None, "epsg": None,
             "is_geographic": None, "nodata": None}

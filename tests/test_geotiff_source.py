@@ -83,6 +83,40 @@ class TestTiffCodec:
         np.testing.assert_array_equal(back, g)
         assert meta["epsg"] is None  # no geo keys in this fixture
 
+    def test_multiband_chunky_reads_band_1(self):
+        # the reference reads band 1 of ANY raster (core.py:68 src.read(1));
+        # build a 3-band chunky (interleaved) float32 TIFF by hand
+        import struct
+
+        h, w, spp = 5, 7, 3
+        bands = np.arange(h * w * spp, dtype=np.float32).reshape(h, w, spp)
+        pix = bands.tobytes()  # chunky interleave is the natural C order
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (259, 3, 1, struct.pack("<HH", 1, 0)),
+            (273, 4, 1, struct.pack("<I", 0)),  # patched below
+            (277, 3, 1, struct.pack("<HH", spp, 0)),
+            (279, 4, 1, struct.pack("<I", len(pix))),
+            (284, 3, 1, struct.pack("<HH", 1, 0)),  # chunky
+            (339, 3, 1, struct.pack("<HH", 3, 0)),
+        ]
+        # BitsPerSample with count=3 must live out-of-line (6 bytes)
+        n_entries = len(entries) + 1
+        bps_off = 8 + 2 + 12 * n_entries + 4
+        entries.insert(2, (258, 3, 3, struct.pack("<I", bps_off)))
+        strip_at = bps_off + 6
+        entries = [(t, f, c, struct.pack("<I", strip_at)) if t == 273 else (t, f, c, v)
+                   for t, f, c, v in entries]
+        ifd = struct.pack("<H", n_entries)
+        for tag, ftype, count, val in sorted(entries):
+            ifd += struct.pack("<HHI", tag, ftype, count) + val.ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        overflow = struct.pack("<3H", 32, 32, 32)
+        data = struct.pack("<2sHI", b"II", 42, 8) + ifd + overflow + pix
+        grid, _ = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(grid, bands[:, :, 0])
+
     def test_rejects_compressed_and_garbage(self):
         with pytest.raises(ValueError, match="byte-order"):
             tiffio.read_geotiff(b"PK\x03\x04 definitely not a tiff")
