@@ -207,8 +207,6 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         raise ValueError("compressed TIFF is not supported (entropy coding needs a library)")
     spp = int(one(_SAMPLES_PER_PIXEL, 1))
     planar = int(one(_PLANAR_CONFIG, 1))
-    if spp > 1 and planar != 1:
-        raise ValueError("multi-band planar (PlanarConfiguration=2) TIFF is not supported")
     bits = int(one(_BITS_PER_SAMPLE, 1))
     sfmt = int(one(_SAMPLE_FORMAT, 1))
     dtype = {
@@ -226,13 +224,22 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     bps = tags.get(_BITS_PER_SAMPLE)
     if spp > 1 and isinstance(bps, list) and len(set(bps)) > 1:
         raise ValueError("mixed per-band bit depths are not supported")
+    if spp > 1 and planar == 2:
+        # planar layout: strips come band-by-band; band 1 = the first
+        # ceil(h / rows_per_strip) strips
+        rps = int(one(_ROWS_PER_STRIP, h)) or h
+        n_band_strips = math.ceil(h / rps)
+        offsets, counts = offsets[:n_band_strips], counts[:n_band_strips]
+        spp_interleaved = 1
+    else:
+        spp_interleaved = spp
     buf = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-    expected = w * h * spp * (bits // 8)
+    expected = w * h * spp_interleaved * (bits // 8)
     if len(buf) < expected:
         raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
-    grid = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(h, w, spp)[
-        :, :, 0
-    ]  # band 1, like the reference's src.read(1) (core.py:68); chunky layout
+    grid = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(
+        h, w, spp_interleaved
+    )[:, :, 0]  # band 1, like the reference's src.read(1) (core.py:68)
     grid = np.ascontiguousarray(grid.astype(grid.dtype.newbyteorder("=")))  # native order for kernels
 
     meta = {"x0": None, "y0": None, "xres": None, "yres": None, "epsg": None,

@@ -117,6 +117,43 @@ class TestTiffCodec:
         grid, _ = tiffio.read_geotiff(data)
         np.testing.assert_array_equal(grid, bands[:, :, 0])
 
+    def test_multiband_planar_reads_band_1(self):
+        # PlanarConfiguration=2: strips come band-by-band; band 1 = first
+        # ceil(h / rows_per_strip) strips. Single strip per band here.
+        import struct
+
+        h, w, spp = 5, 7, 3
+        bands = np.arange(h * w * spp, dtype=np.float32).reshape(spp, h, w)
+        pix = bands.tobytes()  # planar: band planes concatenated
+        band_bytes = h * w * 4
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (259, 3, 1, struct.pack("<HH", 1, 0)),
+            (273, 4, 3, None),  # out-of-line offsets, patched below
+            (277, 3, 1, struct.pack("<HH", spp, 0)),
+            (278, 4, 1, struct.pack("<I", h)),
+            (279, 4, 3, None),  # out-of-line counts
+            (284, 3, 1, struct.pack("<HH", 2, 0)),  # planar
+            (339, 3, 1, struct.pack("<HH", 3, 0)),
+        ]
+        n_entries = len(entries) + 1  # + BitsPerSample
+        ifd_end = 8 + 2 + 12 * n_entries + 4
+        bps_off, off_off, cnt_off = ifd_end, ifd_end + 6, ifd_end + 6 + 12
+        strip_at = cnt_off + 12
+        entries.insert(2, (258, 3, 3, struct.pack("<I", bps_off)))
+        vals = {273: struct.pack("<I", off_off), 279: struct.pack("<I", cnt_off)}
+        ifd = struct.pack("<H", n_entries)
+        for tag, ftype, count, val in sorted(entries):
+            ifd += struct.pack("<HHI", tag, ftype, count) + (vals.get(tag, val) or b"").ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        overflow = struct.pack("<3H", 32, 32, 32)
+        overflow += struct.pack("<3I", *(strip_at + i * band_bytes for i in range(spp)))
+        overflow += struct.pack("<3I", band_bytes, band_bytes, band_bytes)
+        data = struct.pack("<2sHI", b"II", 42, 8) + ifd + overflow + pix
+        grid, _ = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(grid, bands[0])
+
     def test_rejects_compressed_and_garbage(self):
         with pytest.raises(ValueError, match="byte-order"):
             tiffio.read_geotiff(b"PK\x03\x04 definitely not a tiff")
