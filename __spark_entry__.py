@@ -43,6 +43,9 @@ _IMG_TABLE = os.path.join(_CONTRACT_DIR, "img_table")
 _ANN_PLANES_PQ = os.path.join(_CONTRACT_DIR, "ann_planes.parquet")
 _ANN_CENTROIDS_PQ = os.path.join(_CONTRACT_DIR, "ann_centroids.parquet")
 _DTM_GOLDEN_PQ = os.path.join(_CONTRACT_DIR, "dtm_golden_metrics.parquet")
+# decoded valid pixels of every contract image (image_id, py, px, value) —
+# lets DuckDB replay pixel-level raster↔vector ops (zonal stats) exactly
+_PIXELS_PQ = os.path.join(_CONTRACT_DIR, "pixels.parquet")
 _ANN_DIM = 64  # embeddings.parquet vector length (all sf); a drift would
 # surface as a loud oracle/engine mismatch, not silence
 _DTM_METRICS_CUTOFF = "img_000016"  # first 16 images, by zero-padded id
@@ -59,6 +62,7 @@ def _ensure_contract_tables() -> None:
         and os.path.exists(_ANN_PLANES_PQ)
         and os.path.exists(_ANN_CENTROIDS_PQ)
         and os.path.exists(_DTM_GOLDEN_PQ)
+        and os.path.exists(_PIXELS_PQ)
         and os.path.exists(os.path.join(_IMG_TABLE, "meta", "CURRENT"))
     ):
         return
@@ -108,6 +112,27 @@ def _ensure_contract_tables() -> None:
             }
         )
     pq.write_table(pa.Table.from_pandas(pd.DataFrame(metr), preserve_index=False), _DTM_GOLDEN_PQ)
+
+    # valid pixels of every image, row/col indexed — the oracle recomputes
+    # pixel-center lon/lat from metadata with the engine's exact IEEE
+    # mul/add arithmetic, so pixel-level joins replay in SQL. float32
+    # values + int16 indices keep the fixture compact; both engines widen
+    # to double identically (exact).
+    pix = []
+    for r in images.itertuples(index=False):
+        grid = codecs.decode(r.bytes, int(r.h), int(r.w), r.fmt)
+        yy, xx = np.nonzero(grid != NODATA_DEFAULT)
+        pix.append(
+            pd.DataFrame(
+                {
+                    "image_id": r.image_id,
+                    "py": yy.astype(np.int16),
+                    "px": xx.astype(np.int16),
+                    "value": grid[yy, xx],
+                }
+            )
+        )
+    pq.write_table(pa.Table.from_pandas(pd.concat(pix, ignore_index=True), preserve_index=False), _PIXELS_PQ)
     # snapshot-table twin of the image table, one commit per image width, so
     # read(where=[('w', ...)]) exercises footer-stats file skipping
     import shutil
@@ -816,6 +841,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_knn_anchors"] = img_knn_anchors
 
+    def img_zonal_rect_stats(spark, sf):
+        # raster↔vector zonal statistics: per-(footprint, image) stats of
+        # raster pixels whose centers fall inside the rect zone — cell-cover
+        # broadcast equi-join + one decode/mask/aggregate UDF pass. The
+        # oracle replays it at PIXEL level from the materialized pixel table
+        # (pixels_16.parquet) with the same IEEE pixel-center arithmetic.
+        from dsm2dtm_spark.operators.zonal import zonal_stats
+
+        _ensure_contract_tables()
+        fp = spark.read.parquet(_FOOTPRINTS_PQ).filter(F.col("kind") == "rect")
+        return zonal_stats(_images(spark), fp)
+
+    q["img_zonal_rect_stats"] = img_zonal_rect_stats
+
     def dtm_pipeline_metrics(spark, sf):
         # flagship pixel pipeline, hash-checked: the oracle is a committed
         # golden-clone metrics parquet (dtm_golden_metrics.parquet, generated
@@ -1289,6 +1328,33 @@ def oracle_sql() -> dict[str, str]:
     o["dtm_pipeline_metrics"] = f"""
         SELECT image_id, fmt, valid_in, valid_out
         FROM read_parquet('{_DTM_GOLDEN_PQ}')
+    """
+
+    # zonal stats replay: pixel-center lon/lat from image metadata with the
+    # engine's exact equirectangular mul/add arithmetic (no libm), closed
+    # rect bounds, nodata already excluded by the pixel fixture
+    o["img_zonal_rect_stats"] = f"""
+        WITH img AS (
+            SELECT image_id, lon0, lat0, xres_m, yres_m
+            FROM read_parquet('{_IMAGES_PQ}')
+        ),
+        px AS (
+            SELECT p.image_id, CAST(p.value AS DOUBLE) AS value,
+                   img.lon0 + ((p.px + 0.5) * img.xres_m)
+                       / (111320.0 * (1.0 - 1.523e-4 * img.lat0 * img.lat0)) AS lon,
+                   img.lat0 - ((p.py + 0.5) * img.yres_m) / 110540.0 AS lat
+            FROM read_parquet('{_PIXELS_PQ}') p JOIN img USING (image_id)
+        ),
+        hits AS (
+            SELECT f.footprint_id, px.image_id, px.value
+            FROM px JOIN (SELECT * FROM read_parquet('{_FOOTPRINTS_PQ}') WHERE kind = 'rect') f
+              ON px.lon BETWEEN f.x0 AND f.x1 AND px.lat BETWEEN f.y0 AND f.y1
+        )
+        SELECT footprint_id, image_id, COUNT(*) AS n_px,
+               ROUND(AVG(value), 4) AS mean_val,
+               ROUND(MIN(value), 4) AS min_val,
+               ROUND(MAX(value), 4) AS max_val
+        FROM hits GROUP BY footprint_id, image_id
     """
 
     img = f"read_parquet('{_IMAGES_PQ}')"

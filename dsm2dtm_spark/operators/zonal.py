@@ -1,0 +1,151 @@
+"""Zonal statistics: vector footprints × raster pixels (the raster↔vector
+aggregation the north rule's spatial-join surface exists for — "what does
+the raster say INSIDE each polygon").
+
+Scale shape (same cover→equi-join→refine pattern as the spatial join,
+SURVEY.md E6, one level deeper — down to pixels):
+
+1. cover: footprint bboxes and image bboxes each explode to their covering
+   S2-style cells at a coarse resolution. Two overlapping bboxes always
+   share at least one covering cell, so the cell equi-join's candidate set
+   provably contains every (footprint, image) pair with any pixel overlap.
+2. join: broadcast hash equi-join on cell id (footprint side ≪ image side),
+   distinct pairs — never a cartesian/nested-loop node.
+3. refine + aggregate: one pandas-UDF pass decodes each candidate image and
+   masks PIXEL CENTERS against the footprint — pure bbox arithmetic for
+   rects (SQL-replayable: the oracle recomputes the same IEEE mul/add
+   pixel-center coordinates in DuckDB), vectorized even-odd ray casting for
+   polygons — then aggregates the valid in-zone values.
+
+Output: one row per (footprint_id, image_id) with n_px / mean / min / max
+over valid (non-nodata) pixels whose centers fall inside the zone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from dsm2dtm_spark import codecs
+from dsm2dtm_spark.operators import cellindex
+from dsm2dtm_spark.operators.spatial import points_in_polygon, with_cover_cells
+from dsm2dtm_spark.operators.tiling import M_PER_DEG_LAT, M_PER_DEG_LON_EQ, lon_scale
+from dsm2dtm_spark.params import NODATA_DEFAULT
+
+ZONAL_SCHEMA = (
+    "footprint_id string, image_id string, n_px long, "
+    "mean_val double, min_val double, max_val double"
+)
+
+
+def pixel_center_lonlat(
+    lon0: float, lat0: float, xres_m: float, yres_m: float, h: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lons[w], lats[h]) of pixel CENTERS — the same equirectangular
+    mul/add arithmetic as tile_center_lonlat, so DuckDB replays it bit-for-
+    bit (no libm calls)."""
+    px = np.arange(w, dtype=np.float64) + 0.5
+    py = np.arange(h, dtype=np.float64) + 0.5
+    lons = lon0 + (px * xres_m) / (M_PER_DEG_LON_EQ * lon_scale(lat0))
+    lats = lat0 - (py * yres_m) / M_PER_DEG_LAT
+    return lons, lats
+
+
+def _image_cover(images: DataFrame, res: int) -> DataFrame:
+    """images + ``cell_ids`` covering each image's pixel-center bbox."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cover(lon0: pd.Series, lat0: pd.Series, xres: pd.Series, yres: pd.Series,
+              h: pd.Series, w: pd.Series) -> pd.Series:
+        out = []
+        for a, b, xr, yr, hh, ww in zip(lon0, lat0, xres, yres, h, w):
+            lons, lats = pixel_center_lonlat(float(a), float(b), float(xr), float(yr), int(hh), int(ww))
+            out.append(
+                cellindex.cover_bbox(
+                    float(lons.min()), float(lats.min()), float(lons.max()), float(lats.max()), res
+                ).tolist()
+            )
+        return pd.Series(out)
+
+    return images.withColumn("cell_ids", cover("lon0", "lat0", "xres_m", "yres_m", "h", "w"))
+
+
+def zonal_stats(
+    images: DataFrame,
+    footprints: DataFrame,
+    cell_res: int = 8,
+    value_round: int = 4,
+) -> DataFrame:
+    """Per-(footprint, image) statistics of raster values whose pixel
+    centers fall inside the footprint (rect: closed bbox; polygon: even-odd
+    ray casting). Nodata pixels are excluded; pairs with zero in-zone valid
+    pixels produce no row."""
+    fp_cells = with_cover_cells(footprints, res=cell_res).select(
+        "footprint_id", "kind", "xs", "ys", "x0", "y0", "x1", "y1",
+        F.explode("cell_ids").alias("cell_id"),
+    )
+    img_cells = _image_cover(images, cell_res).select(
+        "image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m",
+        F.explode("cell_ids").alias("cell_id"),
+    )
+    cand = (
+        img_cells.join(F.broadcast(fp_cells), on="cell_id")
+        .dropDuplicates(["footprint_id", "image_id"])
+        .drop("cell_id")
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            grid_cache: dict[str, np.ndarray] = {}
+            for row in pdf.itertuples(index=False):
+                gid = row.image_id
+                if gid not in grid_cache:
+                    grid_cache[gid] = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                grid = grid_cache[gid]
+                lons, lats = pixel_center_lonlat(
+                    float(row.lon0), float(row.lat0), float(row.xres_m), float(row.yres_m),
+                    int(row.h), int(row.w),
+                )
+                if row.kind == "rect":
+                    in_x = (lons >= row.x0) & (lons <= row.x1)
+                    in_y = (lats >= row.y0) & (lats <= row.y1)
+                    mask = in_y[:, None] & in_x[None, :]
+                else:
+                    gx, gy = np.meshgrid(lons, lats)
+                    mask = points_in_polygon(
+                        np.asarray(row.xs, dtype=np.float64),
+                        np.asarray(row.ys, dtype=np.float64),
+                        gx.ravel(), gy.ravel(),
+                    ).reshape(grid.shape)
+                mask &= grid != NODATA_DEFAULT
+                if not mask.any():
+                    continue
+                vals = grid[mask].astype(np.float64)
+                rows.append(
+                    {
+                        "footprint_id": row.footprint_id,
+                        "image_id": row.image_id,
+                        "n_px": int(vals.size),
+                        "mean_val": float(vals.mean()),
+                        "min_val": float(vals.min()),
+                        "max_val": float(vals.max()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["footprint_id", "image_id", "n_px", "mean_val", "min_val", "max_val"])
+
+    out = cand.mapInPandas(stats, ZONAL_SCHEMA)
+    # round JVM-side (HALF_UP, same as the SQL oracles' ROUND) — Python's
+    # banker's rounding would disagree on exact half-boundaries
+    return out.select(
+        "footprint_id",
+        "image_id",
+        "n_px",
+        F.round("mean_val", value_round).alias("mean_val"),
+        F.round("min_val", value_round).alias("min_val"),
+        F.round("max_val", value_round).alias("max_val"),
+    )

@@ -1,0 +1,94 @@
+"""Zonal statistics (vector footprints × raster pixels): Spark result vs a
+brute-force numpy reference over every (footprint, image) pair, for rect AND
+polygon zones; plus the plan property (cell-cover broadcast equi-join, no
+cartesian)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dsm2dtm_spark import codecs, synth
+from dsm2dtm_spark.operators import zonal
+from dsm2dtm_spark.operators.spatial import points_in_polygon
+from dsm2dtm_spark.params import NODATA_DEFAULT
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    images = synth.image_table(12, seed=77, sizes=(40, 64), dup_fraction=0.0).drop(columns=["scenario"])
+    fps = synth.footprint_table(30, seed=78)
+    return images, fps, spark.createDataFrame(images), spark.createDataFrame(fps)
+
+
+def brute_force(images: pd.DataFrame, fps: pd.DataFrame) -> dict:
+    want = {}
+    for im in images.itertuples(index=False):
+        grid = codecs.decode(im.bytes, int(im.h), int(im.w), im.fmt)
+        lons, lats = zonal.pixel_center_lonlat(
+            im.lon0, im.lat0, im.xres_m, im.yres_m, int(im.h), int(im.w)
+        )
+        for fp in fps.itertuples(index=False):
+            if fp.kind == "rect":
+                mask = ((lats >= fp.y0) & (lats <= fp.y1))[:, None] & (
+                    (lons >= fp.x0) & (lons <= fp.x1)
+                )[None, :]
+            else:
+                gx, gy = np.meshgrid(lons, lats)
+                mask = points_in_polygon(
+                    np.asarray(fp.xs), np.asarray(fp.ys), gx.ravel(), gy.ravel()
+                ).reshape(grid.shape)
+            mask &= grid != NODATA_DEFAULT
+            if mask.any():
+                v = grid[mask].astype(np.float64)
+                want[(fp.footprint_id, im.image_id)] = (
+                    int(v.size),
+                    round(float(v.mean()), 4),
+                    round(float(v.min()), 4),
+                    round(float(v.max()), 4),
+                )
+    return want
+
+
+class TestZonalStats:
+    def test_matches_brute_force_all_kinds(self, spark, data):
+        images, fps, simg, sfp = data
+        got = {
+            (r.footprint_id, r.image_id): (r.n_px, r.mean_val, r.min_val, r.max_val)
+            for r in zonal.zonal_stats(simg, sfp).collect()
+        }
+        want = brute_force(images, fps)
+        assert set(got) == set(want)
+        assert len(want) > 0  # the fixture genuinely overlaps
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            for gi, wi in zip(got[k][1:], want[k][1:]):
+                assert gi == pytest.approx(wi, abs=1e-4), k
+
+    def test_nodata_pixels_excluded(self, spark):
+        # an image half-covered by nodata inside a rect that contains it all
+        g = np.full((10, 10), 7.0, dtype=np.float32)
+        g[:, 5:] = NODATA_DEFAULT
+        img = pd.DataFrame(
+            [{
+                "image_id": "z0", "bytes": codecs.encode_raw_f32(g), "w": 10, "h": 10,
+                "fmt": "raw_f32", "lon0": 10.0, "lat0": 20.0, "xres_m": 2.0, "yres_m": 2.0,
+            }]
+        )
+        fp = pd.DataFrame(
+            [{
+                "footprint_id": "f0", "kind": "rect",
+                "xs": [9.0, 11.0, 11.0, 9.0], "ys": [19.0, 19.0, 21.0, 21.0],
+                "x0": 9.0, "y0": 19.0, "x1": 11.0, "y1": 21.0,
+            }]
+        )
+        out = zonal.zonal_stats(spark.createDataFrame(img), spark.createDataFrame(fp)).collect()
+        assert len(out) == 1
+        assert out[0].n_px == 50 and out[0].mean_val == 7.0
+
+    def test_plan_is_broadcast_equi_join(self, spark, data):
+        _, _, simg, sfp = data
+        plan = zonal.zonal_stats(simg, sfp)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
