@@ -46,6 +46,9 @@ _DTM_GOLDEN_PQ = os.path.join(_CONTRACT_DIR, "dtm_golden_metrics.parquet")
 # decoded valid pixels of every contract image (image_id, py, px, value) —
 # lets DuckDB replay pixel-level raster↔vector ops (zonal stats) exactly
 _PIXELS_PQ = os.path.join(_CONTRACT_DIR, "pixels.parquet")
+# query points for the point-sample op: deterministic offsets inside the
+# image extents (plus misses, so the bounds path is exercised)
+_SAMPLE_PTS_PQ = os.path.join(_CONTRACT_DIR, "sample_points.parquet")
 _ANN_DIM = 64  # embeddings.parquet vector length (all sf); a drift would
 # surface as a loud oracle/engine mismatch, not silence
 _DTM_METRICS_CUTOFF = "img_000016"  # first 16 images, by zero-padded id
@@ -63,6 +66,7 @@ def _ensure_contract_tables() -> None:
         and os.path.exists(_ANN_CENTROIDS_PQ)
         and os.path.exists(_DTM_GOLDEN_PQ)
         and os.path.exists(_PIXELS_PQ)
+        and os.path.exists(_SAMPLE_PTS_PQ)
         and os.path.exists(os.path.join(_IMG_TABLE, "meta", "CURRENT"))
     ):
         return
@@ -133,6 +137,28 @@ def _ensure_contract_tables() -> None:
             )
         )
     pq.write_table(pa.Table.from_pandas(pd.concat(pix, ignore_index=True), preserve_index=False), _PIXELS_PQ)
+
+    # 3 points per image at fixed fractional offsets inside its extent +
+    # one far miss per 10 images (bounds path); deterministic arithmetic
+    from dsm2dtm_spark.operators.tiling import M_PER_DEG_LAT, M_PER_DEG_LON_EQ, lon_scale
+
+    pts = []
+    qid = 0
+    for r in images.itertuples(index=False):
+        scale = M_PER_DEG_LON_EQ * lon_scale(float(r.lat0))
+        for fx, fy in ((0.25, 0.25), (0.6, 0.4), (0.85, 0.9)):
+            pts.append(
+                {
+                    "query_id": qid,
+                    "x": float(r.lon0) + (fx * r.w * r.xres_m) / scale,
+                    "y": float(r.lat0) - (fy * r.h * r.yres_m) / M_PER_DEG_LAT,
+                }
+            )
+            qid += 1
+    for k in range(8):  # guaranteed misses (lat 80+: no images there)
+        pts.append({"query_id": qid, "x": float(k), "y": 85.0})
+        qid += 1
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(pts), preserve_index=False), _SAMPLE_PTS_PQ)
     # snapshot-table twin of the image table, one commit per image width, so
     # read(where=[('w', ...)]) exercises footer-stats file skipping
     import shutil
@@ -855,6 +881,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_zonal_rect_stats"] = img_zonal_rect_stats
 
+    def img_point_sample(spark, sf):
+        # raster value AT each query point (nearest pixel): cell equi-join
+        # candidates + integer-index sampling; the oracle recomputes the
+        # floor-of-IEEE-division pixel index in SQL and joins the
+        # materialized pixel table — an exact integer match
+        from dsm2dtm_spark.operators.zonal import point_sample
+
+        _ensure_contract_tables()
+        pts = spark.read.parquet(_SAMPLE_PTS_PQ)
+        return point_sample(_images(spark), pts)
+
+    q["img_point_sample"] = img_point_sample
+
     def dtm_pipeline_metrics(spark, sf):
         # flagship pixel pipeline, hash-checked: the oracle is a committed
         # golden-clone metrics parquet (dtm_golden_metrics.parquet, generated
@@ -1355,6 +1394,26 @@ def oracle_sql() -> dict[str, str]:
                ROUND(MIN(value), 4) AS min_val,
                ROUND(MAX(value), 4) AS max_val
         FROM hits GROUP BY footprint_id, image_id
+    """
+
+    o["img_point_sample"] = f"""
+        WITH img AS (
+            SELECT image_id, lon0, lat0, xres_m, yres_m, w, h
+            FROM read_parquet('{_IMAGES_PQ}')
+        ),
+        idx AS (
+            SELECT q.query_id, img.image_id, img.w, img.h,
+                   CAST(FLOOR(((q.x - img.lon0)
+                        * (111320.0 * (1.0 - 1.523e-4 * img.lat0 * img.lat0)))
+                        / img.xres_m) AS INTEGER) AS px,
+                   CAST(FLOOR(((img.lat0 - q.y) * 110540.0) / img.yres_m) AS INTEGER) AS py
+            FROM read_parquet('{_SAMPLE_PTS_PQ}') q CROSS JOIN img
+        )
+        SELECT i.query_id, i.image_id, i.py, i.px,
+               ROUND(CAST(p.value AS DOUBLE), 4) AS value
+        FROM idx i JOIN read_parquet('{_PIXELS_PQ}') p
+          ON p.image_id = i.image_id AND p.py = i.py AND p.px = i.px
+        WHERE i.px >= 0 AND i.px < i.w AND i.py >= 0 AND i.py < i.h
     """
 
     img = f"read_parquet('{_IMAGES_PQ}')"

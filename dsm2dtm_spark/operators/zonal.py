@@ -149,3 +149,61 @@ def zonal_stats(
         F.round("min_val", value_round).alias("min_val"),
         F.round("max_val", value_round).alias("max_val"),
     )
+
+
+POINT_SAMPLE_SCHEMA = "query_id long, image_id string, py int, px int, value double"
+
+
+def point_sample(images: DataFrame, points: DataFrame, cell_res: int = 8) -> DataFrame:
+    """Raster value at each query point (nearest pixel — the pixel whose
+    cell contains the point): the raster↔vector POINT lookup. Candidates
+    via an equi-join of the point's cell against the image-bbox cover cells
+    (points broadcast — the small side); one UDF pass decodes each image
+    once and samples all its points by integer index. Points outside every
+    image, or landing on nodata, produce no row.
+
+    Pixel indexing is the exact inverse of pixel_center_lonlat's forward
+    arithmetic (floor of an IEEE division — SQL-replayable):
+        px = floor((x − lon0) · M_LON·scale(lat0) / xres_m)
+        py = floor((lat0 − y) · M_LAT / yres_m)
+    """
+    pt_cell = points.select(
+        F.col("query_id"),
+        F.col("x"),
+        F.col("y"),
+        cellindex.cell_expr(F.col("x"), F.col("y"), cell_res).alias("cell_id"),
+    )
+    img_cells = _image_cover(images, cell_res).select(
+        "image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m",
+        F.explode("cell_ids").alias("cell_id"),
+    )
+    cand = (
+        img_cells.join(F.broadcast(pt_cell), on="cell_id")
+        .dropDuplicates(["query_id", "image_id"])
+        .drop("cell_id")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            grid_cache: dict[str, np.ndarray] = {}
+            for row in pdf.itertuples(index=False):
+                h, w = int(row.h), int(row.w)
+                scale = M_PER_DEG_LON_EQ * lon_scale(float(row.lat0))
+                px = int(np.floor((float(row.x) - float(row.lon0)) * scale / float(row.xres_m)))
+                py = int(np.floor((float(row.lat0) - float(row.y)) * M_PER_DEG_LAT / float(row.yres_m)))
+                if not (0 <= px < w and 0 <= py < h):
+                    continue
+                if row.image_id not in grid_cache:
+                    grid_cache[row.image_id] = codecs.decode(row.bytes, h, w, row.fmt)
+                v = float(grid_cache[row.image_id][py, px])
+                if v == NODATA_DEFAULT:
+                    continue
+                rows.append(
+                    {"query_id": int(row.query_id), "image_id": row.image_id,
+                     "py": py, "px": px, "value": v}
+                )
+            yield pd.DataFrame(rows, columns=["query_id", "image_id", "py", "px", "value"])
+
+    out = cand.mapInPandas(sample, POINT_SAMPLE_SCHEMA)
+    return out.select("query_id", "image_id", "py", "px", F.round("value", 4).alias("value"))

@@ -87,6 +87,31 @@ class TestZonalStats:
         assert len(out) == 1
         assert out[0].n_px == 50 and out[0].mean_val == 7.0
 
+    def test_point_sample_matches_direct_indexing(self, spark, data):
+        images, _, simg, _ = data
+        # points at fixed fractions inside each image + guaranteed misses
+        pts, want = [], {}
+        qid = 0
+        for im in images.itertuples(index=False):
+            grid = codecs.decode(im.bytes, int(im.h), int(im.w), im.fmt)
+            scale = 111320.0 * (1.0 - 1.523e-4 * im.lat0 * im.lat0)
+            for fx, fy in ((0.3, 0.7), (0.9, 0.1)):
+                x = im.lon0 + (fx * im.w * im.xres_m) / scale
+                y = im.lat0 - (fy * im.h * im.yres_m) / 110540.0
+                px = int(np.floor((x - im.lon0) * scale / im.xres_m))
+                py = int(np.floor((im.lat0 - y) * 110540.0 / im.yres_m))
+                v = float(grid[py, px])
+                if v != NODATA_DEFAULT:
+                    want[qid] = (im.image_id, py, px, round(v, 4))
+                pts.append({"query_id": qid, "x": x, "y": y})
+                qid += 1
+        pts.append({"query_id": qid, "x": 0.0, "y": 85.0})  # miss
+        spts = spark.createDataFrame(pd.DataFrame(pts))
+        got = {r.query_id: (r.image_id, r.py, r.px, r.value)
+               for r in zonal.point_sample(simg, spts).collect()}
+        assert got == want
+        assert qid not in got  # the miss produced no row
+
     def test_plan_is_broadcast_equi_join(self, spark, data):
         _, _, simg, sfp = data
         plan = zonal.zonal_stats(simg, sfp)._jdf.queryExecution().executedPlan().toString()
