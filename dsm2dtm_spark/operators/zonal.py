@@ -56,22 +56,46 @@ def pixel_center_lonlat(
 
 
 def _image_cover(images: DataFrame, res: int) -> DataFrame:
-    """images + ``cell_ids`` covering each image's pixel-center bbox."""
+    """images + ``cell_ids`` covering each image's FULL pixel-edge extent
+    (not just pixel centers): a query point in the outer half-pixel margin
+    still indexes a valid pixel, so the candidate cover must include the
+    margin's cells or the equi-join silently drops it (found by review —
+    a cell boundary crossing that margin lost the pair)."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def cover(lon0: pd.Series, lat0: pd.Series, xres: pd.Series, yres: pd.Series,
               h: pd.Series, w: pd.Series) -> pd.Series:
         out = []
         for a, b, xr, yr, hh, ww in zip(lon0, lat0, xres, yres, h, w):
-            lons, lats = pixel_center_lonlat(float(a), float(b), float(xr), float(yr), int(hh), int(ww))
+            a, b, xr, yr = float(a), float(b), float(xr), float(yr)
+            lon_hi = a + (int(ww) * xr) / (M_PER_DEG_LON_EQ * lon_scale(b))
+            lat_lo = b - (int(hh) * yr) / M_PER_DEG_LAT
             out.append(
                 cellindex.cover_bbox(
-                    float(lons.min()), float(lats.min()), float(lons.max()), float(lats.max()), res
+                    min(a, lon_hi), min(b, lat_lo), max(a, lon_hi), max(b, lat_lo), res
                 ).tolist()
             )
         return pd.Series(out)
 
     return images.withColumn("cell_ids", cover("lon0", "lat0", "xres_m", "yres_m", "h", "w"))
+
+
+def _candidates(images: DataFrame, other_cells: DataFrame, other_id: str, cell_res: int) -> DataFrame:
+    """Distinct (image, other) candidate pairs via the cell-cover equi-join,
+    executed over NARROW (id, cell) relations: the multi-MB image payload
+    joins back ONCE per distinct pair instead of being exploded per cover
+    cell and shuffled through the dedup."""
+    meta = images.select("image_id", "lon0", "lat0", "xres_m", "yres_m", "h", "w")
+    img_cells = _image_cover(meta, cell_res).select("image_id", F.explode("cell_ids").alias("cell_id"))
+    pairs = (
+        img_cells.join(F.broadcast(other_cells), on="cell_id")
+        .dropDuplicates(["image_id", other_id])
+        .drop("cell_id")
+    )
+    return pairs.join(
+        images.select("image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m"),
+        on="image_id",
+    )
 
 
 def zonal_stats(
@@ -85,17 +109,11 @@ def zonal_stats(
     ray casting). Nodata pixels are excluded; pairs with zero in-zone valid
     pixels produce no row."""
     fp_cells = with_cover_cells(footprints, res=cell_res).select(
-        "footprint_id", "kind", "xs", "ys", "x0", "y0", "x1", "y1",
-        F.explode("cell_ids").alias("cell_id"),
+        "footprint_id", F.explode("cell_ids").alias("cell_id")
     )
-    img_cells = _image_cover(images, cell_res).select(
-        "image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m",
-        F.explode("cell_ids").alias("cell_id"),
-    )
-    cand = (
-        img_cells.join(F.broadcast(fp_cells), on="cell_id")
-        .dropDuplicates(["footprint_id", "image_id"])
-        .drop("cell_id")
+    cand = _candidates(images, fp_cells, "footprint_id", cell_res).join(
+        F.broadcast(footprints.select("footprint_id", "kind", "xs", "ys", "x0", "y0", "x1", "y1")),
+        on="footprint_id",
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,20 +185,11 @@ def point_sample(images: DataFrame, points: DataFrame, cell_res: int = 8) -> Dat
         px = floor((x − lon0) · M_LON·scale(lat0) / xres_m)
         py = floor((lat0 − y) · M_LAT / yres_m)
     """
-    pt_cell = points.select(
-        F.col("query_id"),
-        F.col("x"),
-        F.col("y"),
-        cellindex.cell_expr(F.col("x"), F.col("y"), cell_res).alias("cell_id"),
+    pt_cells = points.select(
+        "query_id", cellindex.cell_expr(F.col("x"), F.col("y"), cell_res).alias("cell_id")
     )
-    img_cells = _image_cover(images, cell_res).select(
-        "image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m",
-        F.explode("cell_ids").alias("cell_id"),
-    )
-    cand = (
-        img_cells.join(F.broadcast(pt_cell), on="cell_id")
-        .dropDuplicates(["query_id", "image_id"])
-        .drop("cell_id")
+    cand = _candidates(images, pt_cells, "query_id", cell_res).join(
+        F.broadcast(points.select("query_id", "x", "y")), on="query_id"
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

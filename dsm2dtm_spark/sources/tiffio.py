@@ -157,8 +157,10 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     Accepts bytes, a filesystem path, or an open binary file handle — the
     engine twin of the reference's path-or-open-dataset ingest surface
     (core.py:126-136)."""
-    if isinstance(data, str):
-        with open(data, "rb") as f:
+    import os
+
+    if isinstance(data, (str, os.PathLike)):
+        with open(os.fspath(data), "rb") as f:
             data = f.read()
     elif hasattr(data, "read"):  # open binary handle
         data = data.read()
@@ -177,24 +179,29 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     if magic != 42:
         raise ValueError(f"not a TIFF: magic {magic}")
 
-    (n_entries,) = struct.unpack(f"{e}H", data[ifd_off : ifd_off + 2])
-    tags: dict[int, list] = {}
-    for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, ftype, count = struct.unpack(f"{e}HHI", data[off : off + 8])
-        if ftype not in _TYPES:
-            continue  # rational/unknown types the engine doesn't need
-        ch, sz = _TYPES[ftype]
-        nbytes = count * sz
-        if nbytes <= 4:
-            raw = data[off + 8 : off + 8 + nbytes]
-        else:
-            (voff,) = struct.unpack(f"{e}I", data[off + 8 : off + 12])
-            raw = data[voff : voff + nbytes]
-        if ftype == 2:
-            tags[tag] = raw
-        else:
-            tags[tag] = list(struct.unpack(f"{e}{count}{ch}", raw))
+    # malformed/truncated structures must surface as ValueError (the typed
+    # error the permissive quarantine catches), never a raw struct.error
+    try:
+        (n_entries,) = struct.unpack(f"{e}H", data[ifd_off : ifd_off + 2])
+        tags: dict[int, list] = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + 12 * i
+            tag, ftype, count = struct.unpack(f"{e}HHI", data[off : off + 8])
+            if ftype not in _TYPES:
+                continue  # rational/unknown types the engine doesn't need
+            ch, sz = _TYPES[ftype]
+            nbytes = count * sz
+            if nbytes <= 4:
+                raw = data[off + 8 : off + 8 + nbytes]
+            else:
+                (voff,) = struct.unpack(f"{e}I", data[off + 8 : off + 12])
+                raw = data[voff : voff + nbytes]
+            if ftype == 2:
+                tags[tag] = raw
+            else:
+                tags[tag] = list(struct.unpack(f"{e}{count}{ch}", raw))
+    except struct.error as exc:
+        raise ValueError(f"truncated/malformed TIFF structure: {exc}") from exc
 
     def one(tag, default=None):
         v = tags.get(tag)

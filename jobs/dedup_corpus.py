@@ -53,7 +53,7 @@ def dedup_pipeline(
 
     counts = {"input": docs.count()}
 
-    q = quality_features(docs)
+    q = quality_features(docs, text_col=text_col)
     kept = q.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("stopword_ratio") <= max_stopword_ratio)
     ).select(*docs.columns)

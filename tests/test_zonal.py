@@ -112,6 +112,35 @@ class TestZonalStats:
         assert got == want
         assert qid not in got  # the miss produced no row
 
+    def test_point_in_outer_half_pixel_margin_across_cell_boundary(self, spark):
+        # regression (review find): the candidate cover used the pixel-CENTER
+        # bbox, so a point in the outer half-pixel margin whose CELL differs
+        # from every pixel-center cell was silently dropped. Build exactly
+        # that geometry: image anchored a quarter-pixel left of a res-8 cell
+        # boundary, query point between the anchor and the boundary.
+        from dsm2dtm_spark.operators import cellindex
+
+        B = -180.0 + 130 * (360.0 / 256.0)  # a res-8 lon cell boundary
+        lat0 = 10.0
+        xres = 1000.0  # ~0.009° pixels at this latitude
+        lon0 = B - 0.002  # anchor < boundary < first pixel center
+        x = B - 0.001
+        g = np.full((8, 8), 42.0, dtype=np.float32)
+        img = pd.DataFrame(
+            [{
+                "image_id": "edge", "bytes": codecs.encode_raw_f32(g), "w": 8, "h": 8,
+                "fmt": "raw_f32", "lon0": lon0, "lat0": lat0, "xres_m": xres, "yres_m": xres,
+            }]
+        )
+        pts = pd.DataFrame([{"query_id": 0, "x": x, "y": lat0 - 0.001}])
+        # sanity: the point's cell really differs from the first pixel center's
+        lons, lats = zonal.pixel_center_lonlat(lon0, lat0, xres, xres, 8, 8)
+        c_pt = cellindex.encode_cells(np.array([x]), np.array([lat0 - 0.001]), 8)[0]
+        c_px = cellindex.encode_cells(np.array([lons[0]]), np.array([lats[0]]), 8)[0]
+        assert c_pt != c_px, "fixture no longer exercises the margin geometry"
+        out = zonal.point_sample(spark.createDataFrame(img), spark.createDataFrame(pts)).collect()
+        assert len(out) == 1 and out[0].value == 42.0 and (out[0].py, out[0].px) == (0, 0)
+
     def test_plan_is_broadcast_equi_join(self, spark, data):
         _, _, simg, sfp = data
         plan = zonal.zonal_stats(simg, sfp)._jdf.queryExecution().executedPlan().toString()
