@@ -43,6 +43,10 @@ _IMG_TABLE = os.path.join(_CONTRACT_DIR, "img_table")
 _ANN_PLANES_PQ = os.path.join(_CONTRACT_DIR, "ann_planes.parquet")
 _ANN_CENTROIDS_PQ = os.path.join(_CONTRACT_DIR, "ann_centroids.parquet")
 _DTM_GOLDEN_PQ = os.path.join(_CONTRACT_DIR, "dtm_golden_metrics.parquet")
+# golden-clone nDSM (DSM − DTM) stats for the same image subset — generated
+# by the SAME terrain.ndsm_numpy the distributed operator calls, so the
+# oracle is the parity axis itself (like dtm_golden_metrics)
+_NDSM_GOLDEN_PQ = os.path.join(_CONTRACT_DIR, "ndsm_golden_stats.parquet")
 # decoded valid pixels of every contract image (image_id, py, px, value) —
 # lets DuckDB replay pixel-level raster↔vector ops (zonal stats) exactly
 _PIXELS_PQ = os.path.join(_CONTRACT_DIR, "pixels.parquet")
@@ -52,6 +56,7 @@ _SAMPLE_PTS_PQ = os.path.join(_CONTRACT_DIR, "sample_points.parquet")
 _ANN_DIM = 64  # embeddings.parquet vector length (all sf); a drift would
 # surface as a loud oracle/engine mismatch, not silence
 _DTM_METRICS_CUTOFF = "img_000016"  # first 16 images, by zero-padded id
+_OVERVIEW_CUTOFF = "img_000032"  # pyramid query subset (bounds row volume)
 
 SHIP_CUTOFF = "1995-09-01"
 
@@ -65,6 +70,7 @@ def _ensure_contract_tables() -> None:
         and os.path.exists(_ANN_PLANES_PQ)
         and os.path.exists(_ANN_CENTROIDS_PQ)
         and os.path.exists(_DTM_GOLDEN_PQ)
+        and os.path.exists(_NDSM_GOLDEN_PQ)
         and os.path.exists(_PIXELS_PQ)
         and os.path.exists(_SAMPLE_PTS_PQ)
         and os.path.exists(os.path.join(_IMG_TABLE, "meta", "CURRENT"))
@@ -104,6 +110,9 @@ def _ensure_contract_tables() -> None:
     # distributed plan must reproduce these exactly (the parity axis,
     # SURVEY.md §5) — generated single-node, compared by the driver's hash
     metr = []
+    ndsm = []
+    from dsm2dtm_spark.operators.terrain import ndsm_numpy
+
     for r in images[images.image_id < _DTM_METRICS_CUTOFF].itertuples(index=False):
         grid = codecs.decode(r.bytes, int(r.h), int(r.w), r.fmt)
         dtm = golden.dsm_to_dtm(grid, (float(r.xres_m), float(r.yres_m)), radius_m=40.0)
@@ -115,7 +124,11 @@ def _ensure_contract_tables() -> None:
                 "valid_out": int(np.sum(dtm != NODATA_DEFAULT)),
             }
         )
+        s = ndsm_numpy(grid, dtm, above_m=1.0)
+        if s is not None:
+            ndsm.append({"image_id": r.image_id, **s})
     pq.write_table(pa.Table.from_pandas(pd.DataFrame(metr), preserve_index=False), _DTM_GOLDEN_PQ)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(ndsm), preserve_index=False), _NDSM_GOLDEN_PQ)
 
     # valid pixels of every image, row/col indexed — the oracle recomputes
     # pixel-center lon/lat from metadata with the engine's exact IEEE
@@ -894,6 +907,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_point_sample"] = img_point_sample
 
+    def img_slope_shade_stats(spark, sf):
+        # terrain derivatives (slope + trig-free hillshade) from central
+        # differences; the oracle replays the gradients via 4 pixel-table
+        # self-joins with the identical IEEE expressions, so the n_flat /
+        # n_steep threshold counts are exact, not rounded
+        from dsm2dtm_spark.operators.terrain import slope_shade_stats
+
+        return slope_shade_stats(_images(spark))
+
+    q["img_slope_shade_stats"] = img_slope_shade_stats
+
+    def img_ndsm_stats(spark, sf):
+        # normalized DSM (DSM − DTM): full pipeline per image, then
+        # height-above-ground stats; oracle = committed golden-clone parquet
+        # produced by the same ndsm_numpy (the parity axis, like
+        # dtm_pipeline_metrics)
+        from dsm2dtm_spark.operators.terrain import ndsm_stats
+
+        img = _images(spark).filter(F.col("image_id") < _DTM_METRICS_CUTOFF)
+        return ndsm_stats(img, radius_m=40.0)
+
+    q["img_ndsm_stats"] = img_ndsm_stats
+
+    def img_overview_pyramid(spark, sf):
+        # 2-level overview pyramid (2×2 block means, GDAL-overview
+        # semantics); the oracle chains two GROUP BY py//2, px//2 CTEs over
+        # the pixel fixture — level 2 averages level 1's UNROUNDED means on
+        # both sides
+        from dsm2dtm_spark.operators.terrain import build_overviews
+
+        img = _images(spark).filter(F.col("image_id") < _OVERVIEW_CUTOFF)
+        return build_overviews(img, levels=2)
+
+    q["img_overview_pyramid"] = img_overview_pyramid
+
+    def img_grid_composite(spark, sf):
+        # mosaic rollup onto a shared lon/lat lattice: per-(image, cell)
+        # partials from one decode pass (map-side combine), JVM groupBy
+        # combine — the oracle floors the same IEEE pixel-center coords
+        from dsm2dtm_spark.operators.terrain import grid_composite
+
+        return grid_composite(_images(spark), cell_deg=0.05)
+
+    q["img_grid_composite"] = img_grid_composite
+
     def dtm_pipeline_metrics(spark, sf):
         # flagship pixel pipeline, hash-checked: the oracle is a committed
         # golden-clone metrics parquet (dtm_golden_metrics.parquet, generated
@@ -1414,6 +1472,104 @@ def oracle_sql() -> dict[str, str]:
         FROM idx i JOIN read_parquet('{_PIXELS_PQ}') p
           ON p.image_id = i.image_id AND p.py = i.py AND p.px = i.px
         WHERE i.px >= 0 AND i.px < i.w AND i.py >= 0 AND i.py < i.h
+    """
+
+    # terrain derivatives replay: central differences via 4 self-joins of the
+    # pixel fixture — inner joins double as the interior/validity test (a
+    # border or nodata neighbour simply has no row). Identical IEEE
+    # association as the engine: (E−W)/(2·xres), sqrt(gx*gx + gy*gy),
+    # (lz − lx·gx − ly·gy)/sqrt(1 + gx² + gy²) — so the threshold counts
+    # are exact and only the emitted doubles are rounded.
+    o["img_slope_shade_stats"] = f"""
+        WITH img AS (
+            SELECT image_id, xres_m, yres_m FROM read_parquet('{_IMAGES_PQ}')
+        ),
+        p AS (
+            SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
+            FROM read_parquet('{_PIXELS_PQ}')
+        ),
+        g AS (
+            SELECT c.image_id,
+                   (e.v - w.v) / (2.0 * img.xres_m) AS gx,
+                   (s.v - n.v) / (2.0 * img.yres_m) AS gy
+            FROM p c
+            JOIN img USING (image_id)
+            JOIN p e ON e.image_id = c.image_id AND e.py = c.py AND e.px = c.px + 1
+            JOIN p w ON w.image_id = c.image_id AND w.py = c.py AND w.px = c.px - 1
+            JOIN p s ON s.image_id = c.image_id AND s.py = c.py + 1 AND s.px = c.px
+            JOIN p n ON n.image_id = c.image_id AND n.py = c.py - 1 AND n.px = c.px
+        ),
+        d AS (
+            SELECT image_id, SQRT(gx*gx + gy*gy) AS slope,
+                   (0.8 - 0.48*gx - 0.36*gy) / SQRT(1.0 + gx*gx + gy*gy) AS shade
+            FROM g
+        )
+        SELECT image_id, COUNT(*) AS n_px,
+               COUNT(*) FILTER (WHERE slope <= 0.02) AS n_flat,
+               COUNT(*) FILTER (WHERE slope >= 0.5) AS n_steep,
+               ROUND(MAX(slope), 4) AS max_slope,
+               ROUND(AVG(slope), 4) AS mean_slope,
+               ROUND(AVG(shade), 4) AS mean_shade,
+               ROUND(MIN(shade), 4) AS min_shade
+        FROM d GROUP BY image_id
+    """
+
+    o["img_ndsm_stats"] = f"""
+        SELECT image_id, n_px, n_above,
+               ROUND(max_ndsm, 4) AS max_ndsm,
+               ROUND(mean_ndsm, 4) AS mean_ndsm
+        FROM read_parquet('{_NDSM_GOLDEN_PQ}')
+    """
+
+    # overview pyramid replay: two chained GROUP BY py//2, px//2 CTEs;
+    # level 2 averages level 1's UNROUNDED means, exactly like the engine
+    o["img_overview_pyramid"] = f"""
+        WITH p AS (
+            SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
+            FROM read_parquet('{_PIXELS_PQ}')
+            WHERE image_id < '{_OVERVIEW_CUTOFF}'
+        ),
+        l1 AS (
+            SELECT image_id, py // 2 AS py, px // 2 AS px,
+                   COUNT(*) AS n_src, SUM(v) / COUNT(*) AS v
+            FROM p GROUP BY image_id, py // 2, px // 2
+        ),
+        l2 AS (
+            SELECT image_id, py // 2 AS py, px // 2 AS px,
+                   COUNT(*) AS n_src, SUM(v) / COUNT(*) AS v
+            FROM l1 GROUP BY image_id, py // 2, px // 2
+        )
+        SELECT image_id, CAST(1 AS INTEGER) AS level, CAST(py AS INTEGER) AS py,
+               CAST(px AS INTEGER) AS px, n_src, ROUND(v, 4) AS value FROM l1
+        UNION ALL
+        SELECT image_id, CAST(2 AS INTEGER), CAST(py AS INTEGER),
+               CAST(px AS INTEGER), n_src, ROUND(v, 4) FROM l2
+    """
+
+    # mosaic rollup replay: the same IEEE pixel-center coords as the zonal
+    # oracle, floored onto the shared lattice by the same literal cell size
+    o["img_grid_composite"] = f"""
+        WITH img AS (
+            SELECT image_id, lon0, lat0, xres_m, yres_m
+            FROM read_parquet('{_IMAGES_PQ}')
+        ),
+        px AS (
+            SELECT p.image_id, CAST(p.value AS DOUBLE) AS value,
+                   img.lon0 + ((p.px + 0.5) * img.xres_m)
+                       / (111320.0 * (1.0 - 1.523e-4 * img.lat0 * img.lat0)) AS lon,
+                   img.lat0 - ((p.py + 0.5) * img.yres_m) / 110540.0 AS lat
+            FROM read_parquet('{_PIXELS_PQ}') p JOIN img USING (image_id)
+        ),
+        cells AS (
+            SELECT image_id, value,
+                   CAST(FLOOR(lat / 0.05) AS BIGINT) AS cy,
+                   CAST(FLOOR(lon / 0.05) AS BIGINT) AS cx
+            FROM px
+        )
+        SELECT cy, cx, COUNT(*) AS n_px, COUNT(DISTINCT image_id) AS n_img,
+               ROUND(MAX(value), 4) AS max_val,
+               ROUND(SUM(value) / COUNT(*), 4) AS mean_val
+        FROM cells GROUP BY cy, cx
     """
 
     img = f"read_parquet('{_IMAGES_PQ}')"

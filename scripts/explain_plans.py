@@ -112,6 +112,21 @@ def main():
         )
     )
 
+    from dsm2dtm_spark.operators import terrain
+
+    sections.append(
+        (
+            "Lattice composite / mosaic rollup (map-side partials)",
+            "The decode UDF emits per-(image, cell) PARTIAL aggregates, so every "
+            "exchange carries O(images × cells-per-image) rows — never pixels. "
+            "The two-level HashAggregate chain is countDistinct's standard "
+            "rewrite (first keyed (cy, cx, image_id), then (cy, cx)); each level "
+            "has its partial_… combine above the exchange, so this is map-side "
+            "combine end to end.",
+            fmt(terrain.grid_composite(images, cell_deg=0.05)),
+        )
+    )
+
     q1 = entry.queries()["q1_pricing_summary"](spark, sf)
     sections.append(
         (

@@ -1,7 +1,7 @@
 """In-pytest oracle parity: run a representative subset of the driver
 contract (queries() vs oracle_sql() through DuckDB) at sf0.001 so the
 official gate — `python -m pytest -x -q` — exercises the Spark↔SQL parity
-machinery end-to-end. The full 34-query sweep lives in
+machinery end-to-end. The full all-query sweep lives in
 scripts/check_contract.py (same comparison code path)."""
 
 from __future__ import annotations
