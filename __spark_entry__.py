@@ -931,10 +931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["img_ndsm_stats"] = img_ndsm_stats
 
     def img_overview_pyramid(spark, sf):
-        # 2-level overview pyramid (2×2 block means, GDAL-overview
-        # semantics); the oracle chains two GROUP BY py//2, px//2 CTEs over
-        # the pixel fixture — level 2 averages level 1's UNROUNDED means on
-        # both sides
+        # 2-level overview pyramid (GDAL average resampling: level k = mean
+        # of valid BASE pixels under the cell); the oracle chains GROUP BY
+        # py//2, px//2 CTEs carrying (sum, count) — order-independent exact
+        # sums on both sides (float32-exact addends)
         from dsm2dtm_spark.operators.terrain import build_overviews
 
         img = _images(spark).filter(F.col("image_id") < _OVERVIEW_CUTOFF)
@@ -1521,8 +1521,11 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_NDSM_GOLDEN_PQ}')
     """
 
-    # overview pyramid replay: two chained GROUP BY py//2, px//2 CTEs;
-    # level 2 averages level 1's UNROUNDED means, exactly like the engine
+    # overview pyramid replay: chained GROUP BY py//2, px//2 CTEs carrying
+    # (sum, count) — every sum's addends are float32-exact pixel values, so
+    # the float64 partials are exact in ANY order (DuckDB's parallel group
+    # sums included) and the final sum/count division matches the engine's
+    # bit-for-bit
     o["img_overview_pyramid"] = f"""
         WITH p AS (
             SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
@@ -1531,19 +1534,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         l1 AS (
             SELECT image_id, py // 2 AS py, px // 2 AS px,
-                   COUNT(*) AS n_src, SUM(v) / COUNT(*) AS v
+                   COUNT(*) AS n_src, SUM(v) AS s
             FROM p GROUP BY image_id, py // 2, px // 2
         ),
         l2 AS (
             SELECT image_id, py // 2 AS py, px // 2 AS px,
-                   COUNT(*) AS n_src, SUM(v) / COUNT(*) AS v
+                   CAST(SUM(n_src) AS BIGINT) AS n_src, SUM(s) AS s
             FROM l1 GROUP BY image_id, py // 2, px // 2
         )
         SELECT image_id, CAST(1 AS INTEGER) AS level, CAST(py AS INTEGER) AS py,
-               CAST(px AS INTEGER) AS px, n_src, ROUND(v, 4) AS value FROM l1
+               CAST(px AS INTEGER) AS px, n_src, ROUND(s / n_src, 4) AS value FROM l1
         UNION ALL
         SELECT image_id, CAST(2 AS INTEGER), CAST(py AS INTEGER),
-               CAST(px AS INTEGER), n_src, ROUND(v, 4) FROM l2
+               CAST(px AS INTEGER), n_src, ROUND(s / n_src, 4) FROM l2
     """
 
     # mosaic rollup replay: the same IEEE pixel-center coords as the zonal

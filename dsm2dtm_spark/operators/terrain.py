@@ -14,9 +14,15 @@ never pixels).
 
 Arithmetic contract (CLAUDE.md): every derived quantity uses IEEE
 mul/add/div/sqrt only — no libm — in the exact association the SQL
-oracles use, so DuckDB replays gradients, block means and lattice indices
-bit-for-bit from the materialized pixel fixture; only the final emitted
-doubles are rounded (HALF_UP on both sides).
+oracles use. Per-pixel values (gradients, shade, lattice indices) and
+every sum whose addends are raw pixel values are bit-identical on both
+engines: pixel addends carry float32 (24-bit) mantissas, so float64
+partial sums stay EXACT for any realistic window (24 bits + log2(n) +
+exponent spread ≪ 53) and summation ORDER cannot matter. The one
+documented exception: means over full-precision doubles (slope/shade
+averages), where reassociation can differ by ~1 ulp — those columns are
+rounded on emit (HALF_UP on both sides) and the threshold COUNTS next to
+them are exact.
 """
 
 from __future__ import annotations
@@ -30,20 +36,11 @@ from pyspark.sql import DataFrame, functions as F
 from dsm2dtm_spark import codecs, golden
 from dsm2dtm_spark.operators.zonal import pixel_center_lonlat
 from dsm2dtm_spark.params import DEFAULT_RADIUS_M, NODATA_DEFAULT
+from dsm2dtm_spark.util import ensure_min_partitions
 
 # unit light vector for hillshade with EXACTLY representable components
 # (0.48² + 0.36² + 0.8² = 1): azimuth/altitude angles would need libm
 DEFAULT_LIGHT = (0.48, 0.36, 0.8)
-
-
-def _ensure_parallelism(images: DataFrame, mult: int) -> DataFrame:
-    """Low-partition inputs (one fat parquet file) would serialize the
-    decode UDF behind a few tasks; compute is far heavier per byte than
-    the scan, so repartitioning encoded bytes up is nearly free."""
-    want = mult * images.sparkSession.sparkContext.defaultParallelism
-    if images.rdd.getNumPartitions() < want:
-        images = images.repartition(want)
-    return images
 
 
 # ------------------------------------------------------------ slope / shade
@@ -76,8 +73,8 @@ def slope_shade_stats(
     Images with no qualifying interior pixel produce no row.
     """
     lx, ly, lz = (float(v) for v in light)
-    meta = _ensure_parallelism(
-        images.select("image_id", "bytes", "w", "h", "fmt", "xres_m", "yres_m"), 2
+    meta = ensure_min_partitions(
+        images.select("image_id", "bytes", "w", "h", "fmt", "xres_m", "yres_m"), mult=2
     )
     cols = ["image_id", "n_px", "n_flat", "n_steep",
             "max_slope", "mean_slope", "mean_shade", "min_shade"]
@@ -96,8 +93,12 @@ def slope_shade_stats(
                 g64 = g.astype(np.float64)
                 gx = ((g64[1:-1, 2:] - g64[1:-1, :-2]) / (2.0 * float(row.xres_m)))[m]
                 gy = ((g64[2:, 1:-1] - g64[:-2, 1:-1]) / (2.0 * float(row.yres_m)))[m]
-                slope = np.sqrt(gx * gx + gy * gy)
-                shade = (lz - lx * gx - ly * gy) / np.sqrt(1.0 + gx * gx + gy * gy)
+                # hoist the squares but KEEP the SQL's left-association:
+                # slope sums (gx²+gy²); shade's denominator is ((1+gx²)+gy²)
+                # — "1.0 + (gx²+gy²)" would differ by an ulp
+                gx2, gy2 = gx * gx, gy * gy
+                slope = np.sqrt(gx2 + gy2)
+                shade = (lz - lx * gx - ly * gy) / np.sqrt(1.0 + gx2 + gy2)
                 rows.append(
                     {
                         "image_id": row.image_id,
@@ -135,7 +136,9 @@ def ndsm_numpy(dsm: np.ndarray, dtm: np.ndarray, above_m: float) -> dict | None:
     m = (dsm != NODATA_DEFAULT) & (dtm != NODATA_DEFAULT)
     if not m.any():
         return None
-    nd = dsm.astype(np.float64)[m] - dtm.astype(np.float64)[m]
+    # mask-then-widen touches only valid pixels (bit-identical to widening
+    # the full grids first: float32→float64 is exact per element)
+    nd = dsm[m].astype(np.float64) - dtm[m].astype(np.float64)
     return {
         "n_px": int(nd.size),
         "n_above": int(np.sum(nd > above_m)),
@@ -156,8 +159,8 @@ def ndsm_stats(
     dsm2dtm user builds first). Golden-parity: the oracle is a committed
     fixture generated by the SAME ``ndsm_numpy`` over the golden clone."""
     golden.validate_job_params(radius_m, None)
-    meta = _ensure_parallelism(
-        images.select("image_id", "bytes", "w", "h", "fmt", "xres_m", "yres_m"), 3
+    meta = ensure_min_partitions(
+        images.select("image_id", "bytes", "w", "h", "fmt", "xres_m", "yres_m"), mult=3
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,44 +194,41 @@ OVERVIEW_SCHEMA = "image_id string, level int, py int, px int, n_src long, value
 def overview_levels_numpy(
     grid: np.ndarray, levels: int
 ) -> list[tuple[int, np.ndarray, np.ndarray]]:
-    """[(level, counts, values)] of 2×2 block-mean downsamples. Values stay
-    full-precision doubles between levels (level k+1 averages level k's
-    UNROUNDED means, exactly like the oracle's CTE chain). The block sum is
-    associated in row-major scan order — t00 + t01 + t10 + t11 with invalid
-    members contributing +0.0 (an exact IEEE identity) — which is the same
-    order DuckDB's group SUM sees the fixture rows in."""
-    val = grid.astype(np.float64)
-    valid = grid != NODATA_DEFAULT
+    """[(level, counts, values)] of downsample levels. Level k cell (py, px)
+    = mean of the VALID BASE pixels in its 2^k × 2^k window — GDAL's average
+    resampling, where every overview level resamples the base band, not the
+    previous level's means. Carrying (sum, count) between levels keeps every
+    sum's addends float32-exact values, so the float64 partials are EXACT
+    (24-bit mantissas + log2(n) carry bits ≪ 53) and no summation order —
+    numpy's, Spark's, or DuckDB's — can change a bit. ``counts`` is the
+    number of valid base pixels under the cell; cells with count 0 are
+    nodata."""
+    s = np.where(grid != NODATA_DEFAULT, grid.astype(np.float64), 0.0)
+    cnt = (grid != NODATA_DEFAULT).astype(np.int64)
     out = []
     for level in range(1, levels + 1):
-        h, w = val.shape
+        h, w = s.shape
         if h % 2 or w % 2:
-            val = np.pad(val, ((0, h % 2), (0, w % 2)))
-            valid = np.pad(valid, ((0, h % 2), (0, w % 2)))
-        t = np.where(valid, val, 0.0)
-        s = t[0::2, 0::2] + t[0::2, 1::2] + t[1::2, 0::2] + t[1::2, 1::2]
-        cnt = (
-            valid[0::2, 0::2].astype(np.int64)
-            + valid[0::2, 1::2]
-            + valid[1::2, 0::2]
-            + valid[1::2, 1::2]
-        )
+            s = np.pad(s, ((0, h % 2), (0, w % 2)))
+            cnt = np.pad(cnt, ((0, h % 2), (0, w % 2)))
+        s = s[0::2, 0::2] + s[0::2, 1::2] + s[1::2, 0::2] + s[1::2, 1::2]
+        cnt = cnt[0::2, 0::2] + cnt[0::2, 1::2] + cnt[1::2, 0::2] + cnt[1::2, 1::2]
         value = np.divide(s, cnt, out=np.zeros_like(s), where=cnt > 0)
         out.append((level, cnt, value))
-        val, valid = value, cnt > 0
-        if not valid.any():
+        if not cnt.any():
             break
     return out
 
 
 def build_overviews(images: DataFrame, levels: int = 2, value_round: int = 4) -> DataFrame:
-    """Multi-resolution overview pyramid (GDAL-overview semantics): level k
-    cell (py, px) is the mean of its valid level k−1 2×2 block; blocks with
-    zero valid members are nodata (no row). One decode pass emits every
-    level's cells; at 100 TB the emitted pyramid is ≤ ⅓ of the base pixel
-    count and writes straight to a partitioned sink — no shuffle at all."""
-    meta = _ensure_parallelism(
-        images.select("image_id", "bytes", "w", "h", "fmt"), 2
+    """Multi-resolution overview pyramid (GDAL average-resampling
+    semantics): level k cell (py, px) is the mean of the valid BASE pixels
+    in its 2^k × 2^k window; windows with zero valid pixels are nodata (no
+    row). One decode pass emits every level's cells; at 100 TB the emitted
+    pyramid is ≤ ⅓ of the base pixel count and writes straight to a
+    partitioned sink — no shuffle at all."""
+    meta = ensure_min_partitions(
+        images.select("image_id", "bytes", "w", "h", "fmt"), mult=2
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -278,10 +278,15 @@ def grid_composite(images: DataFrame, cell_deg: float = 0.05, value_round: int =
     Scale shape: the decode UDF emits per-(image, cell) PARTIAL aggregates
     (map-side combine — an image contributes a handful of rows, never its
     pixels), then a JVM groupBy(cy, cx) combines partials; the shuffle
-    volume is O(images·cells-per-image), independent of pixel count."""
+    volume is O(images·cells-per-image), independent of pixel count.
+
+    mean_val is exact despite the two-stage sum: every addend is a
+    float32-exact pixel value, so the float64 partial sums cannot round in
+    any association (module docstring) — engine and oracle divide the SAME
+    sum by the SAME count."""
     cell = float(cell_deg)
-    meta = _ensure_parallelism(
-        images.select("image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m"), 2
+    meta = ensure_min_partitions(
+        images.select("image_id", "bytes", "w", "h", "fmt", "lon0", "lat0", "xres_m", "yres_m"), mult=2
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

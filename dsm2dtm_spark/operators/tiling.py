@@ -54,6 +54,7 @@ from pyspark.sql.types import (
 
 from dsm2dtm_spark import codecs, golden
 from dsm2dtm_spark.operators import cellindex
+from dsm2dtm_spark.util import ensure_min_partitions
 from dsm2dtm_spark.params import (
     MAX_HALO_PX,
     MAX_WINDOW_PX,
@@ -518,11 +519,8 @@ def tiled_dtm_transform(
         images = images.filter(~is_coarse)
     # big rows pack few per input split (maxPartitionBytes), capping pass-1/2
     # parallelism far below the cluster (48×16 MB rows → ~12 tasks on 32
-    # cores); compute ≫ scan here exactly like dtm_transform, so repartition
-    # up — the byte shuffle is cheap insurance against idle executors
-    min_par = 2 * images.sparkSession.sparkContext.defaultParallelism
-    if images.rdd.getNumPartitions() < min_par:
-        images = images.repartition(min_par)
+    # cores); compute ≫ scan here exactly like dtm_transform
+    images = ensure_min_partitions(images, mult=2)
     stats = image_stats(images, radius_m, slope, chunked=chunked, permissive=permissive)
     # pass 1 decodes every raster; it feeds 2-3 plan subtrees (halo join,
     # process join, quarantine join) that Catalyst would each recompute —

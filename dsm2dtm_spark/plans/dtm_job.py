@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from dsm2dtm_spark import codecs, golden
+from dsm2dtm_spark.util import ensure_min_partitions
 from dsm2dtm_spark.params import (
     DEFAULT_RADIUS_M,
     NODATA_DEFAULT,
@@ -82,10 +83,7 @@ def dtm_transform(
     Defaults to 3× the cluster's default parallelism.
     """
     golden.validate_job_params(radius_m if radius_m is not None else DEFAULT_RADIUS_M, slope)
-    if min_parallelism is None:
-        min_parallelism = 3 * images.sparkSession.sparkContext.defaultParallelism
-    if images.rdd.getNumPartitions() < min_parallelism:
-        images = images.repartition(min_parallelism)
+    images = ensure_min_partitions(images, min_parallelism, mult=3)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

@@ -121,9 +121,9 @@ class TestOverviews:
             (1, 1): (1, 9.0),
         }
         l2 = [r for r in out if r.level == 2]
-        assert len(l2) == 1 and l2[0].n_src == 4
-        # level 2 averages level 1's UNROUNDED means
-        assert l2[0].value == round((7.0 / 3.0 + 4.5 + 7.5 + 9.0) / 4.0, 4)
+        # GDAL average resampling: level 2 = mean of the valid BASE pixels
+        assert len(l2) == 1 and l2[0].n_src == 8
+        assert l2[0].value == round((1 + 2 + 3 + 4 + 6 + 7 + 8 + 9) / 8.0, 4)
 
     def test_empty_block_produces_no_row(self, spark):
         g = np.full((4, 4), NODATA_DEFAULT, dtype=np.float32)
