@@ -918,6 +918,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_slope_shade_stats"] = img_slope_shade_stats
 
+    def img_aspect_octants(spark, sf):
+        # aspect without atan2: downslope octant (45° sector) decided by
+        # sign/magnitude comparisons on the same bit-exact gradients the
+        # slope query uses — every count exact, no rounding anywhere
+        from dsm2dtm_spark.operators.terrain import aspect_octants
+
+        return aspect_octants(_images(spark))
+
+    q["img_aspect_octants"] = img_aspect_octants
+
+    def docs_pack_sequences(spark, sf):
+        # LLM sequence packing ("concat then chunk"): bucketed window cumsum
+        # over token counts — the only shuffle is the bucket exchange; the
+        # oracle replays the identical window in SQL
+        from dsm2dtm_spark.operators.packing import pack_documents
+
+        return pack_documents(_t(spark, sf, "documents"), budget_tokens=512, n_buckets=16)
+
+    q["docs_pack_sequences"] = docs_pack_sequences
+
     def img_ndsm_stats(spark, sf):
         # normalized DSM (DSM − DTM): full pipeline per image, then
         # height-above-ground stats; oracle = committed golden-clone parquet
@@ -1512,6 +1532,67 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(shade), 4) AS mean_shade,
                ROUND(MIN(shade), 4) AS min_shade
         FROM d GROUP BY image_id
+    """
+
+    # aspect replay: same gradient self-joins as the slope oracle, then the
+    # identical ordered CASE over (de, dn) = (−gx, gy) — np.select and CASE
+    # evaluate the same disjoint conditions in the same order on the same
+    # bits, so counts are exact
+    o["img_aspect_octants"] = f"""
+        WITH img AS (
+            SELECT image_id, xres_m, yres_m FROM read_parquet('{_IMAGES_PQ}')
+        ),
+        p AS (
+            SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
+            FROM read_parquet('{_PIXELS_PQ}')
+        ),
+        g AS (
+            SELECT c.image_id,
+                   -((e.v - w.v) / (2.0 * img.xres_m)) AS de,
+                   (s.v - n.v) / (2.0 * img.yres_m) AS dn
+            FROM p c
+            JOIN img USING (image_id)
+            JOIN p e ON e.image_id = c.image_id AND e.py = c.py AND e.px = c.px + 1
+            JOIN p w ON w.image_id = c.image_id AND w.py = c.py AND w.px = c.px - 1
+            JOIN p s ON s.image_id = c.image_id AND s.py = c.py + 1 AND s.px = c.px
+            JOIN p n ON n.image_id = c.image_id AND n.py = c.py - 1 AND n.px = c.px
+        ),
+        o AS (
+            SELECT image_id,
+                   CASE
+                     WHEN de > 0 AND dn >= 0 AND de >= dn THEN 0
+                     WHEN de > 0 AND dn > 0 AND dn > de THEN 1
+                     WHEN de <= 0 AND dn > 0 AND dn >= -de THEN 2
+                     WHEN de < 0 AND dn > 0 AND -de > dn THEN 3
+                     WHEN de < 0 AND dn <= 0 AND -de >= -dn THEN 4
+                     WHEN de < 0 AND dn < 0 AND -dn > -de THEN 5
+                     WHEN de >= 0 AND dn < 0 AND -dn >= de THEN 6
+                     WHEN de > 0 AND dn < 0 AND de > -dn THEN 7
+                     ELSE -1
+                   END AS octant
+            FROM g
+        )
+        SELECT image_id, CAST(octant AS INTEGER) AS octant, COUNT(*) AS n_px
+        FROM o GROUP BY image_id, octant
+    """
+
+    o["docs_pack_sequences"] = """
+        WITH t AS (
+            SELECT doc_id, doc_id % 16 AS bucket,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            x -> x != '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, bucket, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(cum // 512 AS BIGINT) AS pack_idx,
+               CAST(cum % 512 AS BIGINT) AS offset_in_pack
+        FROM c
     """
 
     o["img_ndsm_stats"] = f"""

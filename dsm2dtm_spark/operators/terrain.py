@@ -51,6 +51,25 @@ SLOPE_SHADE_SCHEMA = (
 )
 
 
+def interior_gradients(
+    g: np.ndarray, xres_m: float, yres_m: float
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Central-difference gradients (gx, gy) as 1-D arrays over the interior
+    pixels whose centre + 4 neighbours are all valid; None when no pixel
+    qualifies. gy is pixel-space (+y points south). Shared by the slope/
+    hillshade and aspect operators so the gradient bits are identical."""
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return None
+    v = g != NODATA_DEFAULT
+    m = v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2] & v[2:, 1:-1] & v[:-2, 1:-1]
+    if not m.any():
+        return None
+    g64 = g.astype(np.float64)
+    gx = ((g64[1:-1, 2:] - g64[1:-1, :-2]) / (2.0 * xres_m))[m]
+    gy = ((g64[2:, 1:-1] - g64[:-2, 1:-1]) / (2.0 * yres_m))[m]
+    return gx, gy
+
+
 def slope_shade_stats(
     images: DataFrame,
     light: tuple[float, float, float] = DEFAULT_LIGHT,
@@ -84,15 +103,10 @@ def slope_shade_stats(
             rows = []
             for row in pdf.itertuples(index=False):
                 g = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-                if g.shape[0] < 3 or g.shape[1] < 3:
+                grads = interior_gradients(g, float(row.xres_m), float(row.yres_m))
+                if grads is None:
                     continue
-                v = g != NODATA_DEFAULT
-                m = v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2] & v[2:, 1:-1] & v[:-2, 1:-1]
-                if not m.any():
-                    continue
-                g64 = g.astype(np.float64)
-                gx = ((g64[1:-1, 2:] - g64[1:-1, :-2]) / (2.0 * float(row.xres_m)))[m]
-                gy = ((g64[2:, 1:-1] - g64[:-2, 1:-1]) / (2.0 * float(row.yres_m)))[m]
+                gx, gy = grads
                 # hoist the squares but KEEP the SQL's left-association:
                 # slope sums (gx²+gy²); shade's denominator is ((1+gx²)+gy²)
                 # — "1.0 + (gx²+gy²)" would differ by an ulp
@@ -122,6 +136,56 @@ def slope_shade_stats(
         F.round("mean_shade", r).alias("mean_shade"),
         F.round("min_shade", r).alias("min_shade"),
     )
+
+
+ASPECT_SCHEMA = "image_id string, octant int, n_px long"
+
+
+def aspect_octants(images: DataFrame) -> DataFrame:
+    """Downslope-direction octant histogram per image — aspect without
+    atan2. The downslope vector in (east, north) components is
+    (de, dn) = (−gx, gy) (gy is a south-positive pixel-space gradient);
+    octant k is the 45° sector [45k°, 45(k+1)°) counter-clockwise from
+    east, decided purely by sign and magnitude comparisons on the
+    bit-exact gradients, so every count replays exactly in SQL. Flat
+    pixels (gx = gy = 0) report octant −1. Sector boundaries (multiples
+    of 45°) belong to the even octant they bound."""
+    meta = ensure_min_partitions(
+        images.select("image_id", "bytes", "w", "h", "fmt", "xres_m", "yres_m"), mult=2
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                g = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                grads = interior_gradients(g, float(row.xres_m), float(row.yres_m))
+                if grads is None:
+                    continue
+                gx, gy = grads
+                de, dn = -gx, gy
+                oct_ = np.select(
+                    [
+                        (de > 0) & (dn >= 0) & (de >= dn),
+                        (de > 0) & (dn > 0) & (dn > de),
+                        (de <= 0) & (dn > 0) & (dn >= -de),
+                        (de < 0) & (dn > 0) & (-de > dn),
+                        (de < 0) & (dn <= 0) & (-de >= -dn),
+                        (de < 0) & (dn < 0) & (-dn > -de),
+                        (de >= 0) & (dn < 0) & (-dn >= de),
+                        (de > 0) & (dn < 0) & (de > -dn),
+                    ],
+                    list(range(8)),
+                    default=-1,  # only (0, 0) falls through every sector
+                )
+                counts = np.bincount(oct_ + 1, minlength=9)
+                for k in np.nonzero(counts)[0]:
+                    rows.append(
+                        {"image_id": row.image_id, "octant": int(k) - 1, "n_px": int(counts[k])}
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "octant", "n_px"])
+
+    return meta.mapInPandas(stats, ASPECT_SCHEMA)
 
 
 # ------------------------------------------------------------------- nDSM
