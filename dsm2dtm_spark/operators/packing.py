@@ -49,10 +49,13 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return base.select(
+    # `div` is exact long division, matching the oracle's BIGINT `//`;
+    # floor(cum / budget) would round through a double and can be off by
+    # one once a bucket's cumulative count nears 2^53
+    return base.withColumn("cum", cum).select(
         id_col,
         "bucket",
         "n_tokens",
-        F.floor(cum / F.lit(budget_tokens)).cast("long").alias("pack_idx"),
-        (cum % F.lit(budget_tokens)).cast("long").alias("offset_in_pack"),
+        F.expr(f"CAST(cum div {int(budget_tokens)} AS BIGINT)").alias("pack_idx"),
+        (F.col("cum") % F.lit(budget_tokens)).cast("long").alias("offset_in_pack"),
     )

@@ -22,7 +22,17 @@ import json
 
 def run_overview_job(spark, input_table: str, output_table: str, levels: int = 3) -> dict:
     """Build + commit the pyramid for every not-yet-done image; returns
-    {"images": n_processed, "total_rows": committed pyramid rows}."""
+    {"images": n_processed, "total_rows": committed pyramid rows}.
+
+    Every processed image also commits one LEVEL-0 MARKER row
+    (py = px = 0, n_src = levels built, value NULL): the resume anti-join
+    keys off markers, so an all-nodata image (zero pyramid rows) is still
+    marked done instead of being re-decoded on every rerun, and a rerun
+    requesting a DIFFERENT --levels fails fast instead of silently leaving
+    resumed images with fewer levels than appended ones. Readers take
+    ``level >= 1`` for pyramid cells."""
+    from pyspark.sql import functions as F
+
     from dsm2dtm_spark.operators.terrain import build_overviews
     from dsm2dtm_spark.plans import resume_remaining
     from dsm2dtm_spark.sources import SnapshotTable
@@ -32,19 +42,40 @@ def run_overview_job(spark, input_table: str, output_table: str, levels: int = 3
     src = SnapshotTable(input_table).read(spark)
     out = SnapshotTable(output_table)
     try:
-        done = out.read(spark)
-    except ValueError:  # no commits yet
+        done = out.read(spark).filter("level = 0")
+        prior_levels = [r.n_src for r in done.select("n_src").distinct().collect()]
+        if prior_levels and prior_levels != [levels]:
+            raise ValueError(
+                f"output table was built with levels={prior_levels}; rerunning with "
+                f"levels={levels} would leave an inconsistent pyramid — use a fresh "
+                "output table (or rerun with the original level count)"
+            )
+    except ValueError as e:  # no commits yet — but not the mismatch above
+        if "levels=" in str(e):
+            raise
         done = None
     todo = resume_remaining(src, done)
     n = todo.count()
     if n:
+        markers = todo.select(
+            "image_id",
+            F.lit(0).cast("int").alias("level"),
+            F.lit(0).cast("int").alias("py"),
+            F.lit(0).cast("int").alias("px"),
+            F.lit(levels).cast("long").alias("n_src"),
+            F.lit(None).cast("double").alias("value"),
+        )
         out.write_dataframe(
-            build_overviews(todo, levels=levels),
+            build_overviews(todo, levels=levels).unionByName(markers),
             partition_by=["level"],
             summary={"images": n, "levels": levels},
         )
-    # count comes from parquet footer stats — no pixel work
-    return {"images": n, "total_rows": out.read(spark).count()}
+    try:
+        # count comes from parquet footer stats — no pixel work
+        total = out.read(spark).filter("level >= 1").count()
+    except ValueError:  # nothing ever committed (empty input table)
+        total = 0
+    return {"images": n, "total_rows": total}
 
 
 def main():

@@ -57,6 +57,42 @@ def test_level_partition_prunes_files(spark, roots):
     assert lvl2.count() > 0
 
 
+def test_all_nodata_image_is_marked_done(spark, roots):
+    import numpy as np
+    import pandas as pd
+
+    from dsm2dtm_spark import codecs
+    from dsm2dtm_spark.params import NODATA_DEFAULT
+
+    in_root, out_root = roots
+    dead = np.full((8, 8), NODATA_DEFAULT, dtype=np.float32)
+    live = np.full((8, 8), 5.0, dtype=np.float32)
+    pdf = pd.DataFrame(
+        [
+            {"image_id": "dead", "bytes": codecs.encode_raw_f32(dead), "w": 8, "h": 8, "fmt": "raw_f32"},
+            {"image_id": "live", "bytes": codecs.encode_raw_f32(live), "w": 8, "h": 8, "fmt": "raw_f32"},
+        ]
+    )
+    SnapshotTable(in_root).write_pandas(pdf)
+    res1 = run_overview_job(spark, in_root, out_root, levels=2)
+    assert res1["images"] == 2
+    # the all-nodata image contributed no pyramid rows but IS done: the
+    # rerun reprocesses nothing and commits nothing
+    n_snaps = len(SnapshotTable(out_root).snapshots())
+    res2 = run_overview_job(spark, in_root, out_root, levels=2)
+    assert res2["images"] == 0
+    assert len(SnapshotTable(out_root).snapshots()) == n_snaps
+
+
+def test_levels_mismatch_fails_fast(spark, roots):
+    in_root, out_root = roots
+    images = synth.image_table(n_rows=2, seed=44, sizes=(16,)).drop(columns=["scenario"])
+    SnapshotTable(in_root).write_pandas(images)
+    run_overview_job(spark, in_root, out_root, levels=2)
+    with pytest.raises(ValueError, match="levels="):
+        run_overview_job(spark, in_root, out_root, levels=3)
+
+
 def test_invalid_levels_raises(spark, roots):
     in_root, out_root = roots
     SnapshotTable(in_root).write_pandas(
