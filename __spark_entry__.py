@@ -938,6 +938,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_pack_sequences"] = docs_pack_sequences
 
+    def docs_stratified_sample(spark, sf):
+        # reproducible per-stratum quota sampling (md5-permutation rank):
+        # the curation primitive behind "cap each language at N docs" —
+        # deterministic across reruns and cluster sizes, exact SQL replay
+        from dsm2dtm_spark.operators.sampling import stratified_sample
+
+        docs = _t(spark, sf, "documents")
+        return stratified_sample(docs, "lang", 25, "doc_id").select(
+            "doc_id", "lang", "sample_rank"
+        )
+
+    q["docs_stratified_sample"] = docs_stratified_sample
+
     def img_ndsm_stats(spark, sf):
         # normalized DSM (DSM − DTM): full pipeline per image, then
         # height-above-ground stats; oracle = committed golden-clone parquet
@@ -1593,6 +1606,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(cum // 512 AS BIGINT) AS pack_idx,
                CAST(cum % 512 AS BIGINT) AS offset_in_pack
         FROM c
+    """
+
+    o["docs_stratified_sample"] = """
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 25
     """
 
     o["img_ndsm_stats"] = f"""

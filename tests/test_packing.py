@@ -73,6 +73,41 @@ class TestPackDocuments:
             pack_documents(docs, n_buckets=0)
 
 
+class TestStratifiedSample:
+    def _docs(self, spark, n=60):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n), "lang": [["en", "de", "fr"][i % 3] for i in range(n)]})
+        )
+
+    def test_quota_and_determinism(self, spark):
+        from dsm2dtm_spark.operators.sampling import stratified_sample
+
+        docs = self._docs(spark)
+        out = stratified_sample(docs, "lang", 5, "doc_id")
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+        assert all(len(v) == 5 for v in per.values())
+        assert all(sorted(x[0] for x in v) == [1, 2, 3, 4, 5] for v in per.values())
+        # deterministic under repartitioning (the reproducibility contract)
+        again = sorted(map(tuple, stratified_sample(docs.repartition(7), "lang", 5, "doc_id").collect()))
+        assert sorted(map(tuple, rows)) == again
+
+    def test_small_stratum_kept_whole(self, spark):
+        from dsm2dtm_spark.operators.sampling import stratified_sample
+
+        docs = self._docs(spark, n=4)  # en: 2 docs, de: 1, fr: 1
+        out = stratified_sample(docs, "lang", 10, "doc_id")
+        assert out.count() == 4
+
+    def test_invalid_quota_raises(self, spark):
+        from dsm2dtm_spark.operators.sampling import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(self._docs(spark, 3), "lang", 0, "doc_id")
+
+
 class TestAspectOctants:
     def _run(self, spark, g, **kw):
         df = spark.createDataFrame(pd.DataFrame([_img("a", g, **kw)]))
