@@ -928,6 +928,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_aspect_octants"] = img_aspect_octants
 
+    def img_elevation_bands(spark, sf):
+        # contour-interval histogram: floor(value / 10 m) per valid pixel —
+        # exact counts (identical IEEE division + floor on both engines)
+        from dsm2dtm_spark.operators.terrain import elevation_bands
+
+        return elevation_bands(_images(spark), band_m=10.0)
+
+    q["img_elevation_bands"] = img_elevation_bands
+
     def docs_pack_sequences(spark, sf):
         # LLM sequence packing ("concat then chunk"): bucketed window cumsum
         # over token counts — the only shuffle is the bucket exchange; the
@@ -1606,6 +1615,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(cum // 512 AS BIGINT) AS pack_idx,
                CAST(cum % 512 AS BIGINT) AS offset_in_pack
         FROM c
+    """
+
+    o["img_elevation_bands"] = f"""
+        SELECT image_id,
+               CAST(FLOOR(CAST(value AS DOUBLE) / 10.0) AS BIGINT) AS band,
+               COUNT(*) AS n_px
+        FROM read_parquet('{_PIXELS_PQ}')
+        GROUP BY image_id, band
     """
 
     o["docs_stratified_sample"] = """

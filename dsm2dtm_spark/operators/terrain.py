@@ -250,6 +250,36 @@ def ndsm_stats(
     )
 
 
+BANDS_SCHEMA = "image_id string, band long, n_px long"
+
+
+def elevation_bands(images: DataFrame, band_m: float = 10.0) -> DataFrame:
+    """Per-image elevation histogram: band = floor(value / band_m) over
+    valid pixels — the contour-interval summary (which elevation bands an
+    image spans and how many pixels sit in each). Identical IEEE division +
+    floor on both engines → exact counts, no rounding anywhere."""
+    band = float(band_m)
+    if band <= 0:
+        raise ValueError(f"band_m must be positive, got {band_m}")
+    meta = ensure_min_partitions(images.select("image_id", "bytes", "w", "h", "fmt"), mult=2)
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                g = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                vals = g[g != NODATA_DEFAULT].astype(np.float64)
+                if not vals.size:
+                    continue
+                bands = np.floor(vals / band).astype(np.int64)
+                uniq, counts = np.unique(bands, return_counts=True)
+                for b, n in zip(uniq, counts):
+                    rows.append({"image_id": row.image_id, "band": int(b), "n_px": int(n)})
+            yield pd.DataFrame(rows, columns=["image_id", "band", "n_px"])
+
+    return meta.mapInPandas(hist, BANDS_SCHEMA)
+
+
 # -------------------------------------------------------- overview pyramid
 
 OVERVIEW_SCHEMA = "image_id string, level int, py int, px int, n_src long, value double"

@@ -66,3 +66,49 @@ def streaming_dtm_ingest(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def streaming_overview_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    output_table: SnapshotTable,
+    checkpoint_dir: str,
+    levels: int = 2,
+    available_now: bool = True,
+    max_files_per_trigger: int = 32,
+):
+    """Continuous overview-pyramid maintenance: as image files land in the
+    inbox, each micro-batch's pyramid commits as ONE level-partitioned
+    snapshot, with the same batch-id replay guard as the DTM ingest
+    (at-least-once foreachBatch + idempotent commit = exactly-once). The
+    pyramid table thus has the same dual batch/stream ingestion story as
+    the DTM table — `jobs/build_overviews.py` for backfill, this for tail
+    ingest, one table format for consumers."""
+    from dsm2dtm_spark.operators.terrain import build_overviews
+
+    stream = (
+        spark.readStream.schema(IMAGE_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def sink(batch_df, batch_id: int):
+        done = {s.summary.get("stream_batch_id") for s in output_table.snapshots()}
+        if batch_id in done:
+            return  # replayed micro-batch after a crash: already committed
+        output_table.write_dataframe(
+            build_overviews(batch_df, levels=levels),
+            partition_by=["level"],
+            summary={"stream_batch_id": batch_id, "op": "stream-overviews", "levels": levels},
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -51,6 +51,36 @@ def test_new_files_processed_incrementally(spark, tmp_path, inbox):
     assert out.read(spark).count() == 14
 
 
+def test_stream_overview_pyramid_matches_batch(spark, tmp_path, inbox):
+    from pyspark.sql import functions as F
+
+    from dsm2dtm_spark.operators.terrain import build_overviews
+    from dsm2dtm_spark.streaming import streaming_overview_ingest
+
+    d, pdf = inbox
+    out = SnapshotTable(str(tmp_path / "pyr"))
+    ck = str(tmp_path / "ckpyr")
+    streaming_overview_ingest(spark, str(d), out, ck, levels=2, available_now=True)
+    got = out.read(spark)
+    # streamed pyramid ≡ batch pyramid over the same images (level dirs
+    # partition the table, so `level` comes back as a partition column)
+    want = build_overviews(
+        spark.createDataFrame(pdf[["image_id", "bytes", "w", "h", "fmt"]]), levels=2
+    )
+    key = ["image_id", "level", "py", "px"]
+    assert got.count() == want.count()
+    assert (
+        got.select(*key, "n_src", "value").exceptAll(want.select(*key, "n_src", "value")).count() == 0
+    )
+    # replay with the same checkpoint: nothing new, no duplicate commits
+    n_snaps = len(out.snapshots())
+    streaming_overview_ingest(spark, str(d), out, ck, levels=2, available_now=True)
+    assert len(out.snapshots()) == n_snaps
+    # level partition pruning works on the streamed table too
+    plan = got.filter(F.col("level") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
 class TestStatefulDedup:
     def test_first_occurrence_per_phash_across_batches(self, spark, tmp_path):
         import pandas as pd

@@ -156,6 +156,36 @@ class TestOverviews:
             assert got[k][1] == pytest.approx(want[k][1], abs=1e-4), k
 
 
+class TestElevationBands:
+    def test_hand_bands(self, spark):
+        g = np.array([[5.0, 15.0], [25.0, -3.0]], dtype=np.float32)
+        g = np.pad(g, ((0, 2), (0, 2)), constant_values=NODATA_DEFAULT)
+        out = {r.band: r.n_px for r in terrain.elevation_bands(
+            spark.createDataFrame(pd.DataFrame([_img("b", g)])), band_m=10.0
+        ).collect()}
+        assert out == {0: 1, 1: 1, 2: 1, -1: 1}  # floor(-3/10) = -1
+
+    def test_counts_partition_pixels(self, spark):
+        from dsm2dtm_spark import synth
+
+        images = synth.image_table(n_rows=4, seed=3, sizes=(30,))
+        sdf = spark.createDataFrame(images.drop(columns=["scenario"]))
+        per_img = {}
+        for r in terrain.elevation_bands(sdf).collect():
+            per_img[r.image_id] = per_img.get(r.image_id, 0) + r.n_px
+        for r in images.itertuples(index=False):
+            g = codecs.decode(r.bytes, int(r.h), int(r.w), r.fmt)
+            want = int((g != NODATA_DEFAULT).sum())
+            assert per_img.get(r.image_id, 0) == want
+
+    def test_invalid_band_raises(self, spark):
+        sdf = spark.createDataFrame(
+            pd.DataFrame([_img("x", np.zeros((4, 4), dtype=np.float32))])
+        )
+        with pytest.raises(ValueError):
+            terrain.elevation_bands(sdf, band_m=0.0)
+
+
 class TestGridComposite:
     def test_overlapping_images_combine(self, spark):
         # two 4×4 images at the same anchor → same lattice cell(s)
