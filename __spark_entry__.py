@@ -937,6 +937,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_elevation_bands"] = img_elevation_bands
 
+    def fp_overlap_pairs(spark, sf):
+        # vector×vector spatial self-join: overlapping footprint-bbox pairs
+        # with exact intersection area — cell-cover equi-join candidates,
+        # pure-JVM least/greatest predicate; overlap_area is bit-exact (no
+        # rounding), the oracle is the naive quadratic join
+        from dsm2dtm_spark.operators.spatial import footprint_overlap_pairs
+
+        _ensure_contract_tables()
+        return footprint_overlap_pairs(spark.read.parquet(_FOOTPRINTS_PQ))
+
+    q["fp_overlap_pairs"] = fp_overlap_pairs
+
     def docs_pack_sequences(spark, sf):
         # LLM sequence packing ("concat then chunk"): bucketed window cumsum
         # over token counts — the only shuffle is the bucket exchange; the
@@ -1623,6 +1635,18 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_px
         FROM read_parquet('{_PIXELS_PQ}')
         GROUP BY image_id, band
+    """
+
+    o["fp_overlap_pairs"] = f"""
+        WITH r AS (
+            SELECT footprint_id, x0, y0, x1, y1 FROM read_parquet('{_FOOTPRINTS_PQ}')
+        )
+        SELECT a.footprint_id AS id_a, b.footprint_id AS id_b,
+               (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                   * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS overlap_area
+        FROM r a JOIN r b ON a.footprint_id < b.footprint_id
+        WHERE LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
+          AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
     """
 
     o["docs_stratified_sample"] = """

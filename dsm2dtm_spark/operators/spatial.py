@@ -229,3 +229,49 @@ def knn_join(
     for part in settled_parts:
         out = out.unionByName(part)
     return out
+
+
+# ------------------------------------------------- vector-vector self-join
+
+
+def footprint_overlap_pairs(footprints: DataFrame, cell_res: int = JOIN_CELL_RES) -> DataFrame:
+    """Vector×vector spatial self-join: every pair of footprints whose
+    bboxes strictly overlap, with the bbox-intersection area — entirely
+    JVM (cell-cover equi-join for candidates, least/greatest comparisons
+    for the exact predicate; the only Python is the cover UDF that
+    already serves the raster↔vector join). Pairs emit once
+    (``id_a < id_b``); edge-touching bboxes (zero-area intersection) are
+    excluded. ``overlap_area`` is bit-exact on any engine: min/max,
+    subtraction and one product of the input doubles, no rounding.
+
+    Scale: candidates come from an equi-join on covering cell id — at
+    planetary footprint counts this shuffles on cell like every other
+    spatial op here, never a cross join; duplicate candidates (pairs
+    sharing several cells) collapse via dropDuplicates on the pair key
+    BEFORE the width/height arithmetic."""
+    cells = with_cover_cells(
+        footprints.select("footprint_id", "x0", "y0", "x1", "y1"), res=cell_res
+    ).select(
+        "footprint_id", "x0", "y0", "x1", "y1", F.explode("cell_ids").alias("cell_id")
+    )
+    a = cells.select(
+        F.col("footprint_id").alias("id_a"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        "cell_id",
+    )
+    b = cells.select(
+        F.col("footprint_id").alias("id_b"),
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        "cell_id",
+    )
+    w = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    h = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    return (
+        a.join(b, on="cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter((w > 0) & (h > 0))
+        .select("id_a", "id_b", (w * h).alias("overlap_area"))
+    )

@@ -141,3 +141,50 @@ class TestKnnJoin:
         points = pd.DataFrame({"point_id": ["p1", "p2", "p3"], "x": [50.0, -60.0, 0.1], "y": [0.0, 10.0, 0.0]})
         got = spatial.knn_join(spark.createDataFrame(queries), spark.createDataFrame(points), k=2).collect()
         assert {r.point_id for r in got} == {"p3", "p1"}
+
+
+class TestFootprintOverlapPairs:
+    def test_matches_brute_force(self, spark):
+        from dsm2dtm_spark import synth
+        from dsm2dtm_spark.operators.spatial import footprint_overlap_pairs
+
+        fps = synth.footprint_table(40, seed=17)
+        got = {
+            (r.id_a, r.id_b): r.overlap_area
+            for r in footprint_overlap_pairs(spark.createDataFrame(fps)).collect()
+        }
+        want = {}
+        rows = list(fps.itertuples(index=False))
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                w = min(a.x1, b.x1) - max(a.x0, b.x0)
+                h = min(a.y1, b.y1) - max(a.y0, b.y0)
+                if w > 0 and h > 0:
+                    want[(a.footprint_id, b.footprint_id)] = w * h
+        assert got == want  # exact doubles, no tolerance needed
+        assert len(want) > 0
+
+    def test_pairs_unique_and_touching_excluded(self, spark):
+        import pandas as pd
+        from dsm2dtm_spark.operators.spatial import footprint_overlap_pairs
+
+        fps = pd.DataFrame(
+            [
+                {"footprint_id": "a", "x0": 0.0, "y0": 0.0, "x1": 2.0, "y1": 2.0},
+                {"footprint_id": "b", "x0": 1.0, "y0": 1.0, "x1": 3.0, "y1": 3.0},
+                {"footprint_id": "c", "x0": 2.0, "y0": 0.0, "x1": 4.0, "y1": 2.0},  # touches a
+                {"footprint_id": "d", "x0": 10.0, "y0": 10.0, "x1": 11.0, "y1": 11.0},
+            ]
+        )
+        out = footprint_overlap_pairs(spark.createDataFrame(fps)).collect()
+        got = {(r.id_a, r.id_b): r.overlap_area for r in out}
+        assert got == {("a", "b"): 1.0, ("b", "c"): 1.0}
+
+    def test_no_cartesian_in_plan(self, spark):
+        from dsm2dtm_spark import synth
+        from dsm2dtm_spark.operators.spatial import footprint_overlap_pairs
+
+        df = footprint_overlap_pairs(spark.createDataFrame(synth.footprint_table(10, seed=2)))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
