@@ -945,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dsm2dtm_spark.operators.spatial import footprint_overlap_pairs
 
         _ensure_contract_tables()
+        _ship_engine(spark)  # the cover UDF imports dsm2dtm_spark on executors
         return footprint_overlap_pairs(spark.read.parquet(_FOOTPRINTS_PQ))
 
     q["fp_overlap_pairs"] = fp_overlap_pairs

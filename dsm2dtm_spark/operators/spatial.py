@@ -268,10 +268,14 @@ def footprint_overlap_pairs(footprints: DataFrame, cell_res: int = JOIN_CELL_RES
     )
     w = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
     h = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    # overlap predicate BEFORE the dedup: w/h are pure functions of the
+    # pair's row, so filtering first drops non-overlapping same-cell
+    # candidates (the common case at coarse cell res) from the
+    # dropDuplicates exchange instead of shuffling them only to discard
     return (
         a.join(b, on="cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter((w > 0) & (h > 0))
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", (w * h).alias("overlap_area"))
     )

@@ -356,6 +356,41 @@ def build_overviews(images: DataFrame, levels: int = 2, value_round: int = 4) ->
     )
 
 
+def overview_markers(images: DataFrame, levels: int) -> DataFrame:
+    """One LEVEL-0 marker row per image (py = px = 0, n_src = levels built,
+    value NULL), in the pyramid schema. Markers record done-ness for resume
+    anti-joins — an all-nodata image emits no pyramid rows but must still
+    count as processed — and carry the level count so an append with a
+    different ``levels`` can fail fast. Shared by the batch job and the
+    streaming sink so both ingestion paths produce ONE table format."""
+    return images.select(
+        "image_id",
+        F.lit(0).cast("int").alias("level"),
+        F.lit(0).cast("int").alias("py"),
+        F.lit(0).cast("int").alias("px"),
+        F.lit(levels).cast("long").alias("n_src"),
+        F.lit(None).cast("double").alias("value"),
+    )
+
+
+def ensure_pyramid_levels(table, spark, levels: int) -> None:
+    """Raise when ``table``'s committed level-0 markers record a different
+    level count than ``levels`` — appending would silently mix pyramid
+    depths (some images with k levels, others with k'). No-op on an empty
+    or never-committed table."""
+    try:
+        df = table.read(spark)
+    except ValueError:  # no commits yet
+        return
+    prior = [r.n_src for r in df.filter("level = 0").select("n_src").distinct().collect()]
+    if prior and prior != [levels]:
+        raise ValueError(
+            f"pyramid table was built with levels={prior}; appending with "
+            f"levels={levels} would leave an inconsistent pyramid — use a fresh "
+            "output table (or rerun with the original level count)"
+        )
+
+
 # ------------------------------------------------------- lattice composite
 
 COMPOSITE_PARTIAL_SCHEMA = (

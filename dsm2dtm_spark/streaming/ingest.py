@@ -73,7 +73,7 @@ def streaming_overview_ingest(
     inbox_dir: str,
     output_table: SnapshotTable,
     checkpoint_dir: str,
-    levels: int = 2,
+    levels: int = 3,
     available_now: bool = True,
     max_files_per_trigger: int = 32,
 ):
@@ -83,9 +83,18 @@ def streaming_overview_ingest(
     (at-least-once foreachBatch + idempotent commit = exactly-once). The
     pyramid table thus has the same dual batch/stream ingestion story as
     the DTM table — `jobs/build_overviews.py` for backfill, this for tail
-    ingest, one table format for consumers."""
-    from dsm2dtm_spark.operators.terrain import build_overviews
+    ingest, one table format for consumers: each commit includes the same
+    level-0 marker rows the batch job writes (so backfill's resume
+    anti-join skips streamed images instead of duplicating their cells),
+    and a levels mismatch against the table's committed markers fails
+    fast. Default ``levels`` matches the batch job's."""
+    from dsm2dtm_spark.operators.terrain import (
+        build_overviews,
+        ensure_pyramid_levels,
+        overview_markers,
+    )
 
+    ensure_pyramid_levels(output_table, spark, levels)
     stream = (
         spark.readStream.schema(IMAGE_SCHEMA_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -97,7 +106,9 @@ def streaming_overview_ingest(
         if batch_id in done:
             return  # replayed micro-batch after a crash: already committed
         output_table.write_dataframe(
-            build_overviews(batch_df, levels=levels),
+            build_overviews(batch_df, levels=levels).unionByName(
+                overview_markers(batch_df, levels)
+            ),
             partition_by=["level"],
             summary={"stream_batch_id": batch_id, "op": "stream-overviews", "levels": levels},
         )

@@ -31,9 +31,11 @@ def run_overview_job(spark, input_table: str, output_table: str, levels: int = 3
     requesting a DIFFERENT --levels fails fast instead of silently leaving
     resumed images with fewer levels than appended ones. Readers take
     ``level >= 1`` for pyramid cells."""
-    from pyspark.sql import functions as F
-
-    from dsm2dtm_spark.operators.terrain import build_overviews
+    from dsm2dtm_spark.operators.terrain import (
+        build_overviews,
+        ensure_pyramid_levels,
+        overview_markers,
+    )
     from dsm2dtm_spark.plans import resume_remaining
     from dsm2dtm_spark.sources import SnapshotTable
 
@@ -41,32 +43,16 @@ def run_overview_job(spark, input_table: str, output_table: str, levels: int = 3
         raise ValueError(f"levels must be >= 1, got {levels}")
     src = SnapshotTable(input_table).read(spark)
     out = SnapshotTable(output_table)
+    ensure_pyramid_levels(out, spark, levels)
     try:
         done = out.read(spark).filter("level = 0")
-        prior_levels = [r.n_src for r in done.select("n_src").distinct().collect()]
-        if prior_levels and prior_levels != [levels]:
-            raise ValueError(
-                f"output table was built with levels={prior_levels}; rerunning with "
-                f"levels={levels} would leave an inconsistent pyramid — use a fresh "
-                "output table (or rerun with the original level count)"
-            )
-    except ValueError as e:  # no commits yet — but not the mismatch above
-        if "levels=" in str(e):
-            raise
+    except ValueError:  # no commits yet
         done = None
     todo = resume_remaining(src, done)
     n = todo.count()
     if n:
-        markers = todo.select(
-            "image_id",
-            F.lit(0).cast("int").alias("level"),
-            F.lit(0).cast("int").alias("py"),
-            F.lit(0).cast("int").alias("px"),
-            F.lit(levels).cast("long").alias("n_src"),
-            F.lit(None).cast("double").alias("value"),
-        )
         out.write_dataframe(
-            build_overviews(todo, levels=levels).unionByName(markers),
+            build_overviews(todo, levels=levels).unionByName(overview_markers(todo, levels)),
             partition_by=["level"],
             summary={"images": n, "levels": levels},
         )

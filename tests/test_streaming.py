@@ -4,6 +4,7 @@ and idempotent replay of micro-batches."""
 from __future__ import annotations
 
 import os
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -61,9 +62,11 @@ def test_stream_overview_pyramid_matches_batch(spark, tmp_path, inbox):
     out = SnapshotTable(str(tmp_path / "pyr"))
     ck = str(tmp_path / "ckpyr")
     streaming_overview_ingest(spark, str(d), out, ck, levels=2, available_now=True)
-    got = out.read(spark)
     # streamed pyramid ≡ batch pyramid over the same images (level dirs
-    # partition the table, so `level` comes back as a partition column)
+    # partition the table, so `level` comes back as a partition column);
+    # level 0 holds the same done-markers the batch job writes
+    got = out.read(spark).filter("level >= 1")
+    assert out.read(spark).filter("level = 0").count() == 10
     want = build_overviews(
         spark.createDataFrame(pdf[["image_id", "bytes", "w", "h", "fmt"]]), levels=2
     )
@@ -72,6 +75,17 @@ def test_stream_overview_pyramid_matches_batch(spark, tmp_path, inbox):
     assert (
         got.select(*key, "n_src", "value").exceptAll(want.select(*key, "n_src", "value")).count() == 0
     )
+    # the batch job sees streamed images as done (one table format): a
+    # backfill over the same corpus processes nothing and mismatched
+    # levels fail fast
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    from build_overviews import run_overview_job
+
+    in_root = str(tmp_path / "in_tbl")
+    SnapshotTable(in_root).write_pandas(pdf)
+    assert run_overview_job(spark, in_root, str(tmp_path / "pyr"), levels=2)["images"] == 0
+    with pytest.raises(ValueError, match="levels="):
+        run_overview_job(spark, in_root, str(tmp_path / "pyr"), levels=3)
     # replay with the same checkpoint: nothing new, no duplicate commits
     n_snaps = len(out.snapshots())
     streaming_overview_ingest(spark, str(d), out, ck, levels=2, available_now=True)
