@@ -147,3 +147,71 @@ class TestCellIndexProperties:
             direct = int(cellindex.encode_cells(np.array([lon]), np.array([lat]), r)[0])
             via_parent = int(cellindex.parent_cell(np.array([c1]), r)[0])
             assert direct == via_parent, (lon, lat, res, r)
+
+
+class TestTerrainProperties:
+    @FAST
+    @given(grids)
+    def test_pyramid_conserves_mass_and_counts(self, hwsf):
+        from dsm2dtm_spark.operators.terrain import overview_levels_numpy
+
+        g = _grid(*hwsf)
+        valid = g != NODATA_DEFAULT
+        n_valid = int(valid.sum())
+        base_sum = float(np.where(valid, g.astype(np.float64), 0.0).sum())
+        lo = float(g.astype(np.float64)[valid].min()) if n_valid else 0.0
+        hi = float(g.astype(np.float64)[valid].max()) if n_valid else 0.0
+        for level, cnt, value in overview_levels_numpy(g, 4):
+            assert int(cnt.sum()) == n_valid  # every valid base pixel counted once
+            assert cnt.max(initial=0) <= 4 ** level
+            m = cnt > 0
+            if m.any():
+                # weighted mean identity: each cell's value·count is its exact
+                # base-pixel sum (float32 addends → exact float64 partials)
+                assert np.isclose((value[m] * cnt[m]).sum(), base_sum, rtol=1e-12)
+                assert value[m].min() >= lo - 1e-9 and value[m].max() <= hi + 1e-9
+
+    @FAST
+    @given(st.integers(min_value=0, max_value=2**32 - 1))
+    def test_octant_rules_total_and_disjoint(self, seed):
+        rng = np.random.default_rng(seed)
+        de = rng.choice([0.0, -0.0, 1.0]) * rng.normal(size=200)
+        dn = rng.choice([0.0, -0.0, 1.0]) * rng.normal(size=200)
+        conds = np.stack(
+            [
+                (de > 0) & (dn >= 0) & (de >= dn),
+                (de > 0) & (dn > 0) & (dn > de),
+                (de <= 0) & (dn > 0) & (dn >= -de),
+                (de < 0) & (dn > 0) & (-de > dn),
+                (de < 0) & (dn <= 0) & (-de >= -dn),
+                (de < 0) & (dn < 0) & (-dn > -de),
+                (de >= 0) & (dn < 0) & (-dn >= de),
+                (de > 0) & (dn < 0) & (de > -dn),
+            ]
+        )
+        hits = conds.sum(axis=0)
+        flat = (de == 0) & (dn == 0)
+        assert np.all(hits[flat] == 0)  # flat matches no sector (→ -1)
+        assert np.all(hits[~flat] == 1)  # every other vector exactly one
+
+
+class TestPackingProperties:
+    @FAST
+    @given(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80),
+        st.integers(min_value=1, max_value=64),
+        st.integers(min_value=1, max_value=7),
+    )
+    def test_positions_are_contiguous_per_bucket(self, token_counts, budget, n_buckets):
+        # pure recomputation of the operator's window arithmetic: absolute
+        # position = pack_idx·budget + offset must advance by exactly
+        # n_tokens within a bucket (docs ordered by id), starting at 0
+        by_bucket = {}
+        for doc_id, n in enumerate(token_counts):
+            by_bucket.setdefault(doc_id % n_buckets, []).append(n)
+        for counts in by_bucket.values():
+            cum = 0
+            for n in counts:
+                pack_idx, offset = divmod(cum, budget)
+                assert offset < budget and pack_idx >= 0
+                cum += n
