@@ -14,6 +14,12 @@ cluster-derived, so the assignment is deterministic across any cluster
 size. A single global window would serialize the cumsum behind one task at
 100 TB; bucketed packing loses nothing (chunks have no cross-bucket
 meaning) and parallelizes fully. All JVM built-ins — no Python in the plan.
+
+Sizing ``n_buckets``: within a bucket the cumsum is inherently sequential
+(one sorted window task per bucket), so pick n_buckets ≫ cluster cores and
+small enough per-bucket data to sort in memory — e.g. 2^16 for a 100 TB
+corpus (~1.5 GB/bucket, 65536-way parallel). It must stay FIXED per
+dataset (it defines the pack layout), not derived from the cluster.
 """
 
 from __future__ import annotations

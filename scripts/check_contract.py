@@ -5,6 +5,9 @@ values (floats rounded to 9 places before hashing to dodge 1-ulp noise the
 driver may or may not tolerate — mismatches beyond that are real).
 
 Usage: python scripts/check_contract.py [sf_dir] [query ...]
+Env: SPARK_GRAFT_CPUS overrides the session core count (default 8) — run
+the full sweep at 4 AND 32 to prove no query's result depends on the
+cluster size (defaultParallelism, partition counts).
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ def main():
     import __spark_entry__ as entrymod
     from dsm2dtm_spark.session import get_spark
 
-    spark = get_spark("contract-check", cores=8)
+    spark = get_spark("contract-check", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

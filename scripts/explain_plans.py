@@ -127,6 +127,32 @@ def main():
         )
     )
 
+    sections.append(
+        (
+            "Vector×vector overlap self-join (cell-keyed, no nested loop)",
+            "Candidates come from an equi-join on covering cell id (SortMergeJoin/"
+            "ShuffledHashJoin), never CartesianProduct/BroadcastNestedLoopJoin; the "
+            "overlap predicate runs BEFORE the pair-dedup exchange so non-overlapping "
+            "same-cell candidates never cross the shuffle.",
+            fmt(spatial.footprint_overlap_pairs(fps)),
+        )
+    )
+
+    from dsm2dtm_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sections.append(
+        (
+            "Stratified sample (local top-N before the exact stratum window)",
+            "Two Window sorts: the first partitions on (stratum, input-partition-id) "
+            "— parallel with the input — and keeps ≤ N rows per partition per "
+            "stratum; only those candidates reach the second, exact per-stratum "
+            "window. Without the local pass, one task would sort an entire "
+            "stratum (half the corpus for 'en').",
+            fmt(stratified_sample(docs, "lang", 25, "doc_id")),
+        )
+    )
+
     q1 = entry.queries()["q1_pricing_summary"](spark, sf)
     sections.append(
         (
