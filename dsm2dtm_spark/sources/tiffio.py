@@ -10,11 +10,14 @@ sources.geotiff.read_geotiff_table with the same output schema, so the DTM
 plans run on real .tif files without any optional dependency.
 
 Supported on read: II/MM byte order, classic TIFF (magic 42), one sample per
-pixel, Compression=1 (none), SampleFormat uint 8/16/32 and IEEE float32,
-multi-strip or single-strip layouts, GeoTIFF keys (model type + EPSG),
+pixel, Compression=1 (none) or 8/32946 (Deflate — zlib is stdlib, not
+entropy-coding-from-scratch), Predictor=2 (horizontal differencing, integer
+samples), SampleFormat uint 8/16/32 and IEEE float32, multi-strip or
+single-strip layouts, GeoTIFF keys (model type + EPSG),
 ModelPixelScale/ModelTiepoint, GDAL_NODATA. Written files: little-endian,
-float32, strip size ~64 KiB, GeoTIFF projected/geographic tags + nodata —
-readable by GDAL/rasterio/QGIS (baseline TIFF with standard geo tags).
+float32, strip size ~64 KiB (optionally Deflate-compressed), GeoTIFF
+projected/geographic tags + nodata — readable by GDAL/rasterio/QGIS
+(baseline TIFF with standard geo tags).
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
@@ -63,10 +67,13 @@ def write_geotiff(
     epsg: int = 32631,
     nodata: float = NODATA_DEFAULT,
     is_geographic: bool | None = None,
+    compress: bool = False,
 ) -> bytes:
-    """Encode a 2-D float32 grid as an uncompressed GeoTIFF (bytes).
-    (x0, y0) anchor the TOP-LEFT corner of the top-left pixel (GDAL
-    convention); yres is the positive pixel height (rows step south)."""
+    """Encode a 2-D float32 grid as a GeoTIFF (bytes). (x0, y0) anchor the
+    TOP-LEFT corner of the top-left pixel (GDAL convention); yres is the
+    positive pixel height (rows step south). ``compress=True`` Deflates
+    each strip (TIFF Compression=8 — what `gdal_translate -co
+    COMPRESS=DEFLATE` emits; elevation grids typically shrink 2-4×)."""
     g = np.ascontiguousarray(grid, dtype=np.float32)
     if g.ndim != 2:
         raise ValueError(f"grid must be 2-D, got shape {g.shape}")
@@ -76,6 +83,10 @@ def write_geotiff(
     rows_per_strip = max(1, 65536 // max(w * 4, 1))
     n_strips = math.ceil(h / rows_per_strip)
     strips = [g[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes() for i in range(n_strips)]
+    if compress:
+        import zlib
+
+        strips = [zlib.compress(s, 6) for s in strips]
 
     nodata_ascii = f"{nodata:.6g}".encode() + b"\x00"
     model_type = 2 if is_geographic else 1
@@ -92,7 +103,7 @@ def write_geotiff(
         (_IMAGE_WIDTH, 4, 1, [w]),
         (_IMAGE_LENGTH, 4, 1, [h]),
         (_BITS_PER_SAMPLE, 3, 1, [32]),
-        (_COMPRESSION, 3, 1, [1]),
+        (_COMPRESSION, 3, 1, [8 if compress else 1]),
         (_PHOTOMETRIC, 3, 1, [1]),
         (_STRIP_OFFSETS, 4, n_strips, None),  # patched below
         (_SAMPLES_PER_PIXEL, 3, 1, [1]),
@@ -210,8 +221,13 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     w, h = int(one(_IMAGE_WIDTH, 0)), int(one(_IMAGE_LENGTH, 0))
     if not w or not h:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
-    if int(one(_COMPRESSION, 1)) != 1:
-        raise ValueError("compressed TIFF is not supported (entropy coding needs a library)")
+    comp = int(one(_COMPRESSION, 1))
+    if comp not in (1, 8, 32946):  # 8 = Deflate (Adobe), 32946 = legacy code
+        raise ValueError(
+            f"TIFF compression {comp} is not supported (supported: none, Deflate; "
+            "LZW/JPEG entropy coding needs a library)"
+        )
+    predictor = int(one(_PREDICTOR, 1))
     spp = int(one(_SAMPLES_PER_PIXEL, 1))
     planar = int(one(_PLANAR_CONFIG, 1))
     bits = int(one(_BITS_PER_SAMPLE, 1))
@@ -240,13 +256,33 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         spp_interleaved = 1
     else:
         spp_interleaved = spp
-    buf = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    strips = [data[o : o + c] for o, c in zip(offsets, counts)]
+    if comp in (8, 32946):
+        import zlib
+
+        try:
+            strips = [zlib.decompress(s) for s in strips]
+        except zlib.error as exc:
+            raise ValueError(f"TIFF Deflate strip is corrupt: {exc}") from exc
+    buf = b"".join(strips)
     expected = w * h * spp_interleaved * (bits // 8)
     if len(buf) < expected:
         raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
-    grid = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(
+    full = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(
         h, w, spp_interleaved
-    )[:, :, 0]  # band 1, like the reference's src.read(1) (core.py:68)
+    )
+    if predictor == 2:
+        # horizontal differencing: each row stores per-channel deltas; undo
+        # with a modular cumsum across columns (rows never span strips, so
+        # post-assembly is equivalent to per-strip). Integer samples only —
+        # predictor 2 is undefined for floats (that's predictor 3).
+        if dtype is np.float32:
+            raise ValueError("TIFF predictor 2 with float samples is invalid")
+        native = np.dtype(dtype)
+        full = full.astype(native.newbyteorder("="), copy=True).cumsum(axis=1, dtype=native)
+    elif predictor != 1:
+        raise ValueError(f"TIFF predictor {predictor} is not supported (1, 2 only)")
+    grid = full[:, :, 0]  # band 1, like the reference's src.read(1) (core.py:68)
     grid = np.ascontiguousarray(grid.astype(grid.dtype.newbyteorder("=")))  # native order for kernels
 
     meta = {"x0": None, "y0": None, "xres": None, "yres": None, "epsg": None,
@@ -340,6 +376,7 @@ def write_geotiff_files(
     dtm_rows,
     out_dir: str,
     nodata: float = NODATA_DEFAULT,
+    compress: bool = False,
 ) -> list[str]:
     """DTM output rows (image_id, bytes, w, h, fmt, lon0/lat0/xres_m/yres_m,
     crs, is_geographic when present) → one .tif per row under ``out_dir`` —
@@ -376,6 +413,7 @@ def write_geotiff_files(
                     epsg=int(getattr(row, "crs", 32631)),
                     nodata=nodata,
                     is_geographic=bool(getattr(row, "is_geographic", False)),
+                    compress=compress,
                 )
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:

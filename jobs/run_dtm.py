@@ -47,6 +47,11 @@ def main():
         "(the reference's --out_dir surface; the snapshot table stays the "
         "primary, resumable output)",
     )
+    ap.add_argument(
+        "--geotiff-compress",
+        action="store_true",
+        help="Deflate-compress the --geotiff-out files (TIFF Compression=8)",
+    )
     ap.add_argument("--cores", type=int, default=None, help="local-mode core count (ignored under a cluster master)")
     args = ap.parse_args()
 
@@ -120,7 +125,9 @@ def main():
             dtm_rows = dtm_rows.filter(F.col("error").isNull())
         if geo_cols:
             dtm_rows = dtm_rows.join(src.select("image_id", *geo_cols), on="image_id")
-        tif_paths = tiffio.write_geotiff_files(dtm_rows, args.geotiff_out)
+        tif_paths = tiffio.write_geotiff_files(
+            dtm_rows, args.geotiff_out, compress=args.geotiff_compress
+        )
 
     print(
         json.dumps(

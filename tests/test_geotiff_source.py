@@ -168,8 +168,67 @@ class TestTiffCodec:
             tag = struct.unpack("<H", data[off : off + 2])[0]
             if tag == 259:
                 data[off + 8 : off + 10] = struct.pack("<H", 5)
-        with pytest.raises(ValueError, match="compressed"):
+        with pytest.raises(ValueError, match="compression 5"):
             tiffio.read_geotiff(bytes(data))
+
+    def test_deflate_roundtrip_and_size(self):
+        g = _grid()
+        plain = tiffio.write_geotiff(g, 2.0, 36.0, 1.0, 1.0)
+        packed = tiffio.write_geotiff(g, 2.0, 36.0, 1.0, 1.0, compress=True)
+        assert len(packed) < len(plain)
+        grid, meta = tiffio.read_geotiff(packed)
+        np.testing.assert_array_equal(grid, g)
+        assert meta["epsg"] == 32631 and meta["x0"] == 2.0
+
+    def test_deflate_corrupt_strip_raises(self):
+        data = bytearray(tiffio.write_geotiff(_grid(), 0.0, 0.0, 1.0, 1.0, compress=True))
+        data[-12:] = b"\x00" * 12  # stomp the last strip's tail
+        with pytest.raises(ValueError, match="Deflate"):
+            tiffio.read_geotiff(bytes(data))
+
+    @staticmethod
+    def _build_predictor2(pix: bytes, h: int, w: int, bits: int, sfmt: int) -> bytes:
+        """Minimal little-endian single-strip TIFF: Deflate + Predictor 2."""
+        import struct
+
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, 1, struct.pack("<HH", bits, 0)),
+            (259, 3, 1, struct.pack("<HH", 8, 0)),  # Deflate
+            (273, 4, 1, None),  # patched to the strip offset
+            (277, 3, 1, struct.pack("<HH", 1, 0)),
+            (279, 4, 1, struct.pack("<I", len(pix))),
+            (317, 3, 1, struct.pack("<HH", 2, 0)),  # horizontal predictor
+            (339, 3, 1, struct.pack("<HH", sfmt, 0)),
+        ]
+        strip_at = 8 + 2 + 12 * len(entries) + 4
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, val in sorted(entries):
+            v = struct.pack("<I", strip_at) if tag == 273 else val
+            ifd += struct.pack("<HHI", tag, ftype, count) + v.ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        return struct.pack("<2sHI", b"II", 42, 8) + ifd + pix
+
+    def test_predictor2_deflate_uint16(self):
+        import zlib
+
+        h, w = 4, 6
+        rng = np.random.default_rng(3)
+        truth = rng.integers(0, 60000, (h, w), dtype=np.uint16)
+        diff = truth.copy()
+        diff[:, 1:] = (truth[:, 1:].astype(np.int64) - truth[:, :-1].astype(np.int64)) % 65536
+        pix = zlib.compress(diff.astype("<u2").tobytes())
+        grid, _ = tiffio.read_geotiff(self._build_predictor2(pix, h, w, 16, 1))
+        np.testing.assert_array_equal(grid, truth)
+
+    def test_predictor2_float_rejected(self):
+        import zlib
+
+        g = np.arange(12, dtype="<f4").reshape(3, 4)
+        pix = zlib.compress(g.tobytes())
+        with pytest.raises(ValueError, match="predictor 2 with float"):
+            tiffio.read_geotiff(self._build_predictor2(pix, 3, 4, 32, 3))
 
 
 class TestGeoTiffIngest:
