@@ -12,8 +12,10 @@ plans run on real .tif files without any optional dependency.
 Supported on read: II/MM byte order, classic TIFF (magic 42), one sample per
 pixel, Compression=1 (none) or 8/32946 (Deflate — zlib is stdlib, not
 entropy-coding-from-scratch), Predictor=2 (horizontal differencing, integer
-samples), SampleFormat uint 8/16/32 and IEEE float32, multi-strip or
-single-strip layouts, GeoTIFF keys (model type + EPSG),
+samples), SampleFormat uint 8/16/32 and IEEE float32, multi-strip,
+single-strip and TILED layouts (the COG / `-co TILED=YES` block grid, edge
+padding cropped; a COG's overview IFDs are simply ignored — the first IFD
+is the full-resolution band), GeoTIFF keys (model type + EPSG),
 ModelPixelScale/ModelTiepoint, GDAL_NODATA. Written files: little-endian,
 float32, strip size ~64 KiB (optionally Deflate-compressed), GeoTIFF
 projected/geographic tags + nodata — readable by GDAL/rasterio/QGIS
@@ -43,6 +45,10 @@ _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
 _PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
@@ -240,48 +246,80 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     }.get((bits, sfmt))
     if dtype is None:
         raise ValueError(f"unsupported sample layout: {bits}-bit format {sfmt}")
-    offsets = tags.get(_STRIP_OFFSETS)
-    counts = tags.get(_STRIP_BYTE_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip layout tags")
     bps = tags.get(_BITS_PER_SAMPLE)
     if spp > 1 and isinstance(bps, list) and len(set(bps)) > 1:
         raise ValueError("mixed per-band bit depths are not supported")
-    if spp > 1 and planar == 2:
-        # planar layout: strips come band-by-band; band 1 = the first
-        # ceil(h / rows_per_strip) strips
-        rps = int(one(_ROWS_PER_STRIP, h)) or h
-        n_band_strips = math.ceil(h / rps)
-        offsets, counts = offsets[:n_band_strips], counts[:n_band_strips]
-        spp_interleaved = 1
-    else:
-        spp_interleaved = spp
-    strips = [data[o : o + c] for o, c in zip(offsets, counts)]
-    if comp in (8, 32946):
-        import zlib
-
-        try:
-            strips = [zlib.decompress(s) for s in strips]
-        except zlib.error as exc:
-            raise ValueError(f"TIFF Deflate strip is corrupt: {exc}") from exc
-    buf = b"".join(strips)
-    expected = w * h * spp_interleaved * (bits // 8)
-    if len(buf) < expected:
-        raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
-    full = np.frombuffer(buf[:expected], dtype=np.dtype(dtype).newbyteorder(e)).reshape(
-        h, w, spp_interleaved
-    )
-    if predictor == 2:
-        # horizontal differencing: each row stores per-channel deltas; undo
-        # with a modular cumsum across columns (rows never span strips, so
-        # post-assembly is equivalent to per-strip). Integer samples only —
-        # predictor 2 is undefined for floats (that's predictor 3).
-        if dtype is np.float32:
-            raise ValueError("TIFF predictor 2 with float samples is invalid")
-        native = np.dtype(dtype)
-        full = full.astype(native.newbyteorder("="), copy=True).cumsum(axis=1, dtype=native)
-    elif predictor != 1:
+    if predictor == 2 and dtype is np.float32:
+        # predictor 2 is undefined for floats (that's predictor 3)
+        raise ValueError("TIFF predictor 2 with float samples is invalid")
+    if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} is not supported (1, 2 only)")
+    spp_interleaved = 1 if (spp > 1 and planar == 2) else spp
+    native = np.dtype(dtype)
+    stored = native.newbyteorder(e)
+    item = bits // 8
+
+    def inflate(chunk: bytes) -> bytes:
+        if comp in (8, 32946):
+            import zlib
+
+            try:
+                return zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF Deflate strip/tile is corrupt: {exc}") from exc
+        return chunk
+
+    def undo_predictor(arr: np.ndarray) -> np.ndarray:
+        """Horizontal differencing undo: modular cumsum across columns.
+        Rows never span strips, and each TILE's rows difference
+        independently — so this runs per assembled-strip-region / per tile."""
+        if predictor != 2:
+            return arr
+        return arr.astype(native, copy=True).cumsum(axis=1, dtype=native)
+
+    if _TILE_OFFSETS in tags:
+        # tiled layout (what COG / gdal -co TILED=YES emits): the image is a
+        # grid of tw×tl blocks, edge tiles padded to full size
+        tw, tl = int(one(_TILE_WIDTH, 0)), int(one(_TILE_LENGTH, 0))
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tiled TIFF missing TileWidth/TileLength")
+        offsets = tags.get(_TILE_OFFSETS)
+        counts = tags.get(_TILE_BYTE_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing tile layout tags")
+        across, down = math.ceil(w / tw), math.ceil(h / tl)
+        n_band_tiles = across * down
+        if len(offsets) < n_band_tiles:
+            raise ValueError(f"TIFF tile table too short: {len(offsets)} < {n_band_tiles}")
+        # planar band 1 = the first across×down tiles; chunky uses them all
+        full = np.empty((down * tl, across * tw, spp_interleaved), dtype=native)
+        t_expected = tl * tw * spp_interleaved * item
+        for idx in range(n_band_tiles):
+            raw = inflate(data[offsets[idx] : offsets[idx] + counts[idx]])
+            if len(raw) < t_expected:
+                raise ValueError(f"TIFF tile {idx} truncated: {len(raw)} < {t_expected}")
+            tile = np.frombuffer(raw[:t_expected], dtype=stored).reshape(tl, tw, spp_interleaved)
+            ty, tx = divmod(idx, across)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = undo_predictor(tile)
+        full = full[:h, :w]  # crop edge-tile padding
+    else:
+        offsets = tags.get(_STRIP_OFFSETS)
+        counts = tags.get(_STRIP_BYTE_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip layout tags")
+        if spp > 1 and planar == 2:
+            # planar layout: strips come band-by-band; band 1 = the first
+            # ceil(h / rows_per_strip) strips
+            rps = int(one(_ROWS_PER_STRIP, h)) or h
+            n_band_strips = math.ceil(h / rps)
+            offsets, counts = offsets[:n_band_strips], counts[:n_band_strips]
+        buf = b"".join(inflate(data[o : o + c]) for o, c in zip(offsets, counts))
+        expected = w * h * spp_interleaved * item
+        if len(buf) < expected:
+            raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
+        full = undo_predictor(
+            np.frombuffer(buf[:expected], dtype=stored).reshape(h, w, spp_interleaved)
+        )
     grid = full[:, :, 0]  # band 1, like the reference's src.read(1) (core.py:68)
     grid = np.ascontiguousarray(grid.astype(grid.dtype.newbyteorder("=")))  # native order for kernels
 

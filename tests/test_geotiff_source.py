@@ -222,6 +222,61 @@ class TestTiffCodec:
         grid, _ = tiffio.read_geotiff(self._build_predictor2(pix, h, w, 16, 1))
         np.testing.assert_array_equal(grid, truth)
 
+    @staticmethod
+    def _build_tiled(h, w, tw, tl, tiles, compress=False):
+        """Minimal little-endian tiled float32 TIFF; ``tiles`` in row-major
+        tile order, each (tl, tw) float32, already edge-padded."""
+        import struct
+        import zlib
+
+        payloads = [t.astype("<f4").tobytes() for t in tiles]
+        if compress:
+            payloads = [zlib.compress(p) for p in payloads]
+        n_tiles = len(payloads)
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, 1, struct.pack("<HH", 32, 0)),
+            (259, 3, 1, struct.pack("<HH", 8 if compress else 1, 0)),
+            (277, 3, 1, struct.pack("<HH", 1, 0)),
+            (322, 4, 1, struct.pack("<I", tw)),
+            (323, 4, 1, struct.pack("<I", tl)),
+            (324, 4, n_tiles, None),  # offsets, patched
+            (325, 4, n_tiles, None),  # byte counts, patched
+            (339, 3, 1, struct.pack("<HH", 3, 0)),
+        ]
+        ifd_end = 8 + 2 + 12 * len(entries) + 4
+        off_at, cnt_at = ifd_end, ifd_end + 4 * n_tiles
+        data_at = cnt_at + 4 * n_tiles
+        offs, pos = [], data_at
+        for p in payloads:
+            offs.append(pos)
+            pos += len(p)
+        vals = {324: struct.pack("<I", off_at), 325: struct.pack("<I", cnt_at)}
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, val in sorted(entries):
+            v = vals.get(tag, val)
+            if count == 1 or tag not in (324, 325):
+                ifd += struct.pack("<HHI", tag, ftype, count) + (v or b"").ljust(4, b"\x00")[:4]
+            else:
+                ifd += struct.pack("<HHI", tag, ftype, count) + v
+        ifd += struct.pack("<I", 0)
+        overflow = struct.pack(f"<{n_tiles}I", *offs)
+        overflow += struct.pack(f"<{n_tiles}I", *(len(p) for p in payloads))
+        return struct.pack("<2sHI", b"II", 42, 8) + ifd + overflow + b"".join(payloads)
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_tiled_layout_with_edge_padding(self, compress):
+        # 5×7 image in 4×4 tiles: 2×2 tile grid, right/bottom tiles padded
+        h, w, tw, tl = 5, 7, 4, 4
+        truth = np.arange(h * w, dtype=np.float32).reshape(h, w) + 0.5
+        canvas = np.full((8, 8), -1.0, dtype=np.float32)
+        canvas[:h, :w] = truth
+        tiles = [canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                 for ty in range(2) for tx in range(2)]
+        grid, _ = tiffio.read_geotiff(self._build_tiled(h, w, tw, tl, tiles, compress))
+        np.testing.assert_array_equal(grid, truth)
+
     def test_predictor2_float_rejected(self):
         import zlib
 
