@@ -60,8 +60,8 @@ _GT_MODEL_TYPE = 1024  # 1 = projected, 2 = geographic
 _GEOGRAPHIC_TYPE = 2048
 _PROJECTED_CS_TYPE = 3072
 
-# TIFF field types → (struct char, byte size)
-_TYPES = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 11: ("f", 4), 12: ("d", 8)}
+# TIFF field types → (struct char, byte size); 16 = TIFF_LONG8 (BigTIFF)
+_TYPES = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 11: ("f", 4), 12: ("d", 8), 16: ("Q", 8)}
 
 
 def write_geotiff(
@@ -74,12 +74,16 @@ def write_geotiff(
     nodata: float = NODATA_DEFAULT,
     is_geographic: bool | None = None,
     compress: bool = False,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode a 2-D float32 grid as a GeoTIFF (bytes). (x0, y0) anchor the
     TOP-LEFT corner of the top-left pixel (GDAL convention); yres is the
     positive pixel height (rows step south). ``compress=True`` Deflates
     each strip (TIFF Compression=8 — what `gdal_translate -co
-    COMPRESS=DEFLATE` emits; elevation grids typically shrink 2-4×)."""
+    COMPRESS=DEFLATE` emits; elevation grids typically shrink 2-4×).
+    ``bigtiff=True`` emits BigTIFF (magic 43, 8-byte offsets) — mandatory
+    once pixel data passes 4 GiB (33k×33k float32), the normal single-
+    raster size in the 100-TB regime."""
     g = np.ascontiguousarray(grid, dtype=np.float32)
     if g.ndim != 2:
         raise ValueError(f"grid must be 2-D, got shape {g.shape}")
@@ -104,17 +108,20 @@ def write_geotiff(
     ]
     geo_dir = [v for key in geo_keys for v in key]
 
-    # entries: (tag, type, count, values). Values pack inline when ≤ 4 bytes.
+    # entries: (tag, type, count, values). Values pack inline when they fit
+    # the format's value slot (4 bytes classic, 8 BigTIFF). Strip offsets/
+    # counts use LONG8 in BigTIFF (they are what can exceed 2^32).
+    off_type = 16 if bigtiff else 4
     entries = [
         (_IMAGE_WIDTH, 4, 1, [w]),
         (_IMAGE_LENGTH, 4, 1, [h]),
         (_BITS_PER_SAMPLE, 3, 1, [32]),
         (_COMPRESSION, 3, 1, [8 if compress else 1]),
         (_PHOTOMETRIC, 3, 1, [1]),
-        (_STRIP_OFFSETS, 4, n_strips, None),  # patched below
+        (_STRIP_OFFSETS, off_type, n_strips, None),  # patched below
         (_SAMPLES_PER_PIXEL, 3, 1, [1]),
         (_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
-        (_STRIP_BYTE_COUNTS, 4, n_strips, [len(s) for s in strips]),
+        (_STRIP_BYTE_COUNTS, off_type, n_strips, [len(s) for s in strips]),
         (_PLANAR_CONFIG, 3, 1, [1]),
         (_SAMPLE_FORMAT, 3, 1, [3]),
         (_MODEL_PIXEL_SCALE, 12, 3, [float(xres), float(yres), 0.0]),
@@ -123,11 +130,16 @@ def write_geotiff(
         (_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii),
     ]
 
-    # layout: header (8) | IFD | out-of-line values | strip data
-    ifd_size = 2 + 12 * len(entries) + 4
-    overflow_at = 8 + ifd_size
+    # per-format geometry: header | IFD | out-of-line values | strip data
+    # (entry-count prefix H/Q; per-entry count + offsets I/Q; slot 4/8)
+    if bigtiff:
+        slot, hdr_fmt, hdr_sz, num_fmt, header_sz = 8, "Q", 8, "Q", 16
+    else:
+        slot, hdr_fmt, hdr_sz, num_fmt, header_sz = 4, "H", 2, "I", 8
+    entry_sz = 4 + struct.calcsize(num_fmt) + slot
+    ifd_size = hdr_sz + entry_sz * len(entries) + slot
+    overflow_at = header_sz + ifd_size
     overflow = bytearray()
-    data_at = None  # computed after overflow sizes are known
 
     def value_bytes(ftype, count, values):
         ch, sz = _TYPES[ftype]
@@ -136,32 +148,33 @@ def write_geotiff(
         return struct.pack(f"<{count}{ch}", *values)
 
     # two passes: first size the overflow area, then emit with real offsets
-    sizes = []
-    for tag, ftype, count, values in entries:
-        ch, sz = _TYPES[ftype]
-        sizes.append(count * sz)
-    total_overflow = sum(s for s in sizes if s > 4)
+    sizes = [count * _TYPES[ftype][1] for _, ftype, count, _ in entries]
+    total_overflow = sum(s for s in sizes if s > slot)
     data_at = overflow_at + total_overflow
     strip_offsets = []
     pos = data_at
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
-    entries[5] = (_STRIP_OFFSETS, 4, n_strips, strip_offsets)
+    entries[5] = (_STRIP_OFFSETS, off_type, n_strips, strip_offsets)
 
-    ifd = bytearray(struct.pack("<H", len(entries)))
+    ifd = bytearray(struct.pack(f"<{hdr_fmt}", len(entries)))
     ov_pos = overflow_at
     for (tag, ftype, count, values), size in zip(entries, sizes):
         vb = value_bytes(ftype, count, values)
-        if size <= 4:
-            ifd += struct.pack("<HHI", tag, ftype, count) + vb.ljust(4, b"\x00")
+        ifd += struct.pack("<HH", tag, ftype) + struct.pack(f"<{num_fmt}", count)
+        if size <= slot:
+            ifd += vb.ljust(slot, b"\x00")
         else:
-            ifd += struct.pack("<HHII", tag, ftype, count, ov_pos)
+            ifd += struct.pack(f"<{num_fmt}", ov_pos)
             overflow += vb
             ov_pos += size
-    ifd += struct.pack("<I", 0)  # no next IFD
+    ifd += struct.pack(f"<{num_fmt}", 0)  # no next IFD
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
     return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
 
 
@@ -190,28 +203,46 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         e = ">"
     else:
         raise ValueError(f"not a TIFF: bad byte-order mark {order!r}")
-    magic, ifd_off = struct.unpack(f"{e}HI", data[2:8])
-    if magic == 43:
-        raise ValueError("BigTIFF (magic 43) is not supported by the minimal reader")
-    if magic != 42:
+    (magic,) = struct.unpack(f"{e}H", data[2:4])
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack(f"{e}I", data[4:8])
+    elif magic == 43:
+        # BigTIFF: 8-byte offsets everywhere — required once a single
+        # raster's data passes 4 GiB (a 33k×33k float32 grid), which the
+        # 100-TB regime reaches routinely
+        big = True
+        offsize, _pad, ifd_off = struct.unpack(f"{e}HHQ", data[4:16])
+        if offsize != 8:
+            raise ValueError(f"BigTIFF offset size {offsize} is invalid (must be 8)")
+    else:
         raise ValueError(f"not a TIFF: magic {magic}")
+    # per-format IFD geometry: the directory's entry-count PREFIX is H/Q,
+    # each entry's count and offset fields are I/Q, the value slot is 4/8
+    if big:
+        hdr_fmt, hdr_sz, num_fmt, num_sz, slot = "Q", 8, "Q", 8, 8
+    else:
+        hdr_fmt, hdr_sz, num_fmt, num_sz, slot = "H", 2, "I", 4, 4
+    entry_sz = 4 + num_sz + slot
 
     # malformed/truncated structures must surface as ValueError (the typed
     # error the permissive quarantine catches), never a raw struct.error
     try:
-        (n_entries,) = struct.unpack(f"{e}H", data[ifd_off : ifd_off + 2])
+        (n_entries,) = struct.unpack(f"{e}{hdr_fmt}", data[ifd_off : ifd_off + hdr_sz])
         tags: dict[int, list] = {}
         for i in range(n_entries):
-            off = ifd_off + 2 + 12 * i
-            tag, ftype, count = struct.unpack(f"{e}HHI", data[off : off + 8])
+            off = ifd_off + hdr_sz + entry_sz * i
+            tag, ftype = struct.unpack(f"{e}HH", data[off : off + 4])
+            (count,) = struct.unpack(f"{e}{num_fmt}", data[off + 4 : off + 4 + num_sz])
             if ftype not in _TYPES:
                 continue  # rational/unknown types the engine doesn't need
             ch, sz = _TYPES[ftype]
             nbytes = count * sz
-            if nbytes <= 4:
-                raw = data[off + 8 : off + 8 + nbytes]
+            val_at = off + 4 + num_sz
+            if nbytes <= slot:
+                raw = data[val_at : val_at + nbytes]
             else:
-                (voff,) = struct.unpack(f"{e}I", data[off + 8 : off + 12])
+                (voff,) = struct.unpack(f"{e}{num_fmt}", data[val_at : val_at + num_sz])
                 raw = data[voff : voff + nbytes]
             if ftype == 2:
                 tags[tag] = raw

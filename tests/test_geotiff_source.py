@@ -421,3 +421,25 @@ class TestRasterioAdapter:
         b = geotiff.read_geotiff_table(spark, [path], reader="builtin").collect()[0]
         assert bytes(a.bytes) == bytes(b.bytes)
         assert (a.crs, a.xres_m, a.yres_m) == (b.crs, b.xres_m, b.yres_m)
+
+
+class TestBigTiff:
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_bigtiff_roundtrip(self, compress):
+        g = _grid()
+        data = tiffio.write_geotiff(
+            g, 2.0, 36.0, 1.0, 1.0, epsg=4326, compress=compress, bigtiff=True
+        )
+        assert data[2:4] == b"\x2b\x00"  # magic 43, little-endian
+        grid, meta = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(grid, g)
+        assert meta["epsg"] == 4326 and meta["is_geographic"] is True
+        assert meta["x0"] == 2.0 and meta["y0"] == 36.0
+
+    def test_bigtiff_bad_offset_size_rejected(self):
+        import struct
+
+        data = bytearray(tiffio.write_geotiff(_grid(), 0.0, 0.0, 1.0, 1.0, bigtiff=True))
+        data[4:6] = struct.pack("<H", 4)  # invalid offset size
+        with pytest.raises(ValueError, match="offset size"):
+            tiffio.read_geotiff(bytes(data))
