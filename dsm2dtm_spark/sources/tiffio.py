@@ -156,6 +156,13 @@ def write_geotiff(
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
+    if not bigtiff and pos > 0xFFFFFFFF:
+        # classic TIFF offsets are 32-bit; fail with direction, not a
+        # struct.error deep in the IFD emit on some executor
+        raise ValueError(
+            f"pixel data ends at byte {pos} > 4 GiB — classic TIFF cannot "
+            "address it; write with bigtiff=True"
+        )
     entries[5] = (_STRIP_OFFSETS, off_type, n_strips, strip_offsets)
 
     ifd = bytearray(struct.pack(f"<{hdr_fmt}", len(entries)))
@@ -178,11 +185,23 @@ def write_geotiff(
     return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
 
 
+def _parse_nodata(tags: dict) -> float | None:
+    nd = tags.get(_GDAL_NODATA)
+    if nd:
+        try:
+            return float(nd.rstrip(b"\x00").decode("ascii", "ignore").strip())
+        except ValueError:
+            pass
+    return None
+
+
 def read_geotiff(data) -> tuple[np.ndarray, dict]:
-    """Decode an uncompressed single-band TIFF; returns (grid, meta) with
-    meta = {x0, y0, xres, yres, epsg, is_geographic, nodata} (geo fields None
-    when the file carries no GeoTIFF keys — callers decide whether a missing
-    CRS is fatal, mirroring reference core.py:60-61).
+    """Decode a band-1 TIFF/BigTIFF grid (strips or tiles, plain or
+    Deflate, predictor 1/2 — the full supported-on-read list in the module
+    docstring); returns (grid, meta) with meta = {x0, y0, xres, yres, epsg,
+    is_geographic, nodata} (geo fields None when the file carries no
+    GeoTIFF keys — callers decide whether a missing CRS is fatal, mirroring
+    reference core.py:60-61).
 
     Accepts bytes, a filesystem path, or an open binary file handle — the
     engine twin of the reference's path-or-open-dataset ingest surface
@@ -212,6 +231,8 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         # raster's data passes 4 GiB (a 33k×33k float32 grid), which the
         # 100-TB regime reaches routinely
         big = True
+        if len(data) < 16:
+            raise ValueError("not a TIFF: truncated BigTIFF header")
         offsize, _pad, ifd_off = struct.unpack(f"{e}HHQ", data[4:16])
         if offsize != 8:
             raise ValueError(f"BigTIFF offset size {offsize} is invalid (must be 8)")
@@ -290,12 +311,16 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     stored = native.newbyteorder(e)
     item = bits // 8
 
-    def inflate(chunk: bytes) -> bytes:
+    def inflate(chunk: bytes, cap: int) -> bytes:
+        """Decompress with an allocation CAP: bytes past the caller's
+        expected size are never materialized, so a crafted zip bomb in one
+        strip/tile cannot OOM an executor (the extra is discarded — the
+        assembly below only reads the expected prefix anyway)."""
         if comp in (8, 32946):
             import zlib
 
             try:
-                return zlib.decompress(chunk)
+                return zlib.decompressobj().decompress(chunk, max(cap, 0))
             except zlib.error as exc:
                 raise ValueError(f"TIFF Deflate strip/tile is corrupt: {exc}") from exc
         return chunk
@@ -307,6 +332,11 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         if predictor != 2:
             return arr
         return arr.astype(native, copy=True).cumsum(axis=1, dtype=native)
+
+    # sparse blocks (GDAL SPARSE_OK: offset 0 / count 0) read as the file's
+    # nodata value, or 0 without one — GDAL's own semantics
+    nodata_val = _parse_nodata(tags)
+    fill = native.type(nodata_val if nodata_val is not None else 0)
 
     if _TILE_OFFSETS in tags:
         # tiled layout (what COG / gdal -co TILED=YES emits): the image is a
@@ -326,26 +356,46 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
         full = np.empty((down * tl, across * tw, spp_interleaved), dtype=native)
         t_expected = tl * tw * spp_interleaved * item
         for idx in range(n_band_tiles):
-            raw = inflate(data[offsets[idx] : offsets[idx] + counts[idx]])
+            ty, tx = divmod(idx, across)
+            region = full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            if counts[idx] == 0 or offsets[idx] == 0:
+                region[:] = fill  # sparse block — no predictor to undo
+                continue
+            raw = inflate(data[offsets[idx] : offsets[idx] + counts[idx]], t_expected)
             if len(raw) < t_expected:
                 raise ValueError(f"TIFF tile {idx} truncated: {len(raw)} < {t_expected}")
             tile = np.frombuffer(raw[:t_expected], dtype=stored).reshape(tl, tw, spp_interleaved)
-            ty, tx = divmod(idx, across)
-            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = undo_predictor(tile)
+            region[:] = undo_predictor(tile)
         full = full[:h, :w]  # crop edge-tile padding
     else:
         offsets = tags.get(_STRIP_OFFSETS)
         counts = tags.get(_STRIP_BYTE_COUNTS)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF missing strip layout tags")
+        rps = int(one(_ROWS_PER_STRIP, h)) or h
         if spp > 1 and planar == 2:
             # planar layout: strips come band-by-band; band 1 = the first
             # ceil(h / rows_per_strip) strips
-            rps = int(one(_ROWS_PER_STRIP, h)) or h
             n_band_strips = math.ceil(h / rps)
             offsets, counts = offsets[:n_band_strips], counts[:n_band_strips]
-        buf = b"".join(inflate(data[o : o + c]) for o, c in zip(offsets, counts))
         expected = w * h * spp_interleaved * item
+        parts, got = [], 0
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            if c == 0 or o == 0:
+                # sparse strip: synthesize it in STORED form so the shared
+                # predictor undo below reproduces the constant fill exactly
+                # (differenced form: first column = fill, deltas 0)
+                rows_i = max(0, min(rps, h - i * rps))
+                blk = np.zeros((rows_i, w, spp_interleaved), dtype=stored)
+                if predictor == 2:
+                    blk[:, 0, :] = fill
+                else:
+                    blk[:] = fill
+                parts.append(blk.tobytes())
+            else:
+                parts.append(inflate(data[o : o + c], expected - got))
+            got += len(parts[-1])
+        buf = b"".join(parts)
         if len(buf) < expected:
             raise ValueError(f"TIFF pixel data truncated: {len(buf)} < {expected}")
         full = undo_predictor(
@@ -373,12 +423,7 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
                 meta["is_geographic"] = val == 2
             elif key_id in (_GEOGRAPHIC_TYPE, _PROJECTED_CS_TYPE) and loc == 0:
                 meta["epsg"] = int(val)
-    nd = tags.get(_GDAL_NODATA)
-    if nd:
-        try:
-            meta["nodata"] = float(nd.rstrip(b"\x00").decode("ascii", "ignore").strip())
-        except ValueError:
-            pass
+    meta["nodata"] = nodata_val
     return grid, meta
 
 

@@ -181,9 +181,20 @@ class TestTiffCodec:
         assert meta["epsg"] == 32631 and meta["x0"] == 2.0
 
     def test_deflate_corrupt_strip_raises(self):
+        # a half-delivered Deflate strip surfaces as the typed ValueError
+        # (the capped decompressor returns the partial prefix without an
+        # exception; the assembly's expected-size check is what fires)
+        import struct
+
         data = bytearray(tiffio.write_geotiff(_grid(), 0.0, 0.0, 1.0, 1.0, compress=True))
-        data[-12:] = b"\x00" * 12  # stomp the last strip's tail
-        with pytest.raises(ValueError, match="Deflate"):
+        n = struct.unpack("<H", data[8:10])[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            tag = struct.unpack("<H", data[off : off + 2])[0]
+            if tag == 279:  # single-strip byte count, inline
+                (scnt,) = struct.unpack("<I", data[off + 8 : off + 12])
+                data[off + 8 : off + 12] = struct.pack("<I", scnt // 2)
+        with pytest.raises(ValueError, match="corrupt|truncated"):
             tiffio.read_geotiff(bytes(data))
 
     @staticmethod
@@ -443,3 +454,87 @@ class TestBigTiff:
         data[4:6] = struct.pack("<H", 4)  # invalid offset size
         with pytest.raises(ValueError, match="offset size"):
             tiffio.read_geotiff(bytes(data))
+
+
+class TestSparseAndRobustness:
+    def test_sparse_tiles_fill_nodata(self):
+        # GDAL SPARSE_OK: empty blocks have offset 0 / count 0 and read as
+        # nodata (0 without a GDAL_NODATA tag). Zero out tile 3's entry.
+        import struct
+
+        h, w, tw, tl = 5, 7, 4, 4
+        truth = np.arange(h * w, dtype=np.float32).reshape(h, w) + 0.5
+        canvas = np.full((8, 8), -1.0, dtype=np.float32)
+        canvas[:h, :w] = truth
+        tiles = [canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                 for ty in range(2) for tx in range(2)]
+        data = bytearray(TestTiffCodec._build_tiled(h, w, tw, tl, tiles, False))
+        # tile offsets/counts live out-of-line right after the IFD
+        ifd_end = 8 + 2 + 12 * 10 + 4
+        data[ifd_end + 4 * 3 : ifd_end + 4 * 4] = struct.pack("<I", 0)       # offset[3] = 0
+        data[ifd_end + 16 + 4 * 3 : ifd_end + 16 + 4 * 4] = struct.pack("<I", 0)  # count[3] = 0
+        grid, _ = tiffio.read_geotiff(bytes(data))
+        want = truth.copy()
+        want[4:5, 4:7] = 0.0  # the sparse bottom-right tile's live region
+        np.testing.assert_array_equal(grid, want)
+
+    def test_sparse_strip_fills_nodata_value(self):
+        # zero a middle strip's offset/count in a multi-strip file carrying
+        # GDAL_NODATA: the gap must read as the nodata value
+        import struct
+
+        rng = np.random.default_rng(5)
+        g = rng.normal(100, 10, (400, 200)).astype(np.float32)
+        data = bytearray(tiffio.write_geotiff(g, 0, 0, 1.0, 1.0))
+        n = struct.unpack("<H", data[8:10])[0]
+        offs = cnts = None
+        for i in range(n):
+            off = 10 + 12 * i
+            tag, ftype, count = struct.unpack("<HHI", data[off : off + 8])
+            if tag in (273, 279):
+                (voff,) = struct.unpack("<I", data[off + 8 : off + 12])
+                vals = list(struct.unpack(f"<{count}I", data[voff : voff + 4 * count]))
+                if tag == 273:
+                    offs = (voff, vals)
+                else:
+                    cnts = (voff, vals)
+        assert offs and cnts and len(offs[1]) > 2
+        rps = 65536 // (200 * 4)
+        k = 1  # second strip
+        data[offs[0] + 4 * k : offs[0] + 4 * (k + 1)] = struct.pack("<I", 0)
+        data[cnts[0] + 4 * k : cnts[0] + 4 * (k + 1)] = struct.pack("<I", 0)
+        grid, meta = tiffio.read_geotiff(bytes(data))
+        want = g.copy()
+        want[k * rps : (k + 1) * rps] = meta["nodata"]
+        np.testing.assert_array_equal(grid, want)
+
+    def test_truncated_bigtiff_header_typed_error(self):
+        with pytest.raises(ValueError, match="truncated"):
+            tiffio.read_geotiff(b"II+\x00\x08\x00\x00\x00")
+
+    def test_deflate_bomb_is_capped_not_materialized(self):
+        # a strip that inflates far past the image size must not allocate
+        # past the expected byte count (and the file still errors as
+        # truncated REAL data rather than OOMing)
+        import struct
+        import zlib
+
+        bomb = zlib.compress(b"\x00" * (64 << 20))  # 64 MiB of zeros, ~64 KiB packed
+        entries = [
+            (256, 4, 1, struct.pack("<I", 4)),
+            (257, 4, 1, struct.pack("<I", 3)),
+            (258, 3, 1, struct.pack("<HH", 32, 0)),
+            (259, 3, 1, struct.pack("<HH", 8, 0)),
+            (273, 4, 1, None),
+            (279, 4, 1, struct.pack("<I", len(bomb))),
+            (339, 3, 1, struct.pack("<HH", 3, 0)),
+        ]
+        strip_at = 8 + 2 + 12 * len(entries) + 4
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, val in sorted(entries):
+            v = struct.pack("<I", strip_at) if tag == 273 else val
+            ifd += struct.pack("<HHI", tag, ftype, count) + v.ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        data = struct.pack("<2sHI", b"II", 42, 8) + ifd + bomb
+        grid, _ = tiffio.read_geotiff(data)  # 3×4 zeros — capped, not 64 MiB
+        np.testing.assert_array_equal(grid, np.zeros((3, 4), dtype=np.float32))
