@@ -34,6 +34,7 @@ import pandas as pd
 from dsm2dtm_spark.params import NODATA_DEFAULT
 
 # TIFF tag ids
+_NEW_SUBFILE_TYPE = 254  # 1 = reduced-resolution (overview) subfile
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -75,6 +76,7 @@ def write_geotiff(
     is_geographic: bool | None = None,
     compress: bool = False,
     bigtiff: bool = False,
+    overviews: list[np.ndarray] | None = None,
 ) -> bytes:
     """Encode a 2-D float32 grid as a GeoTIFF (bytes). (x0, y0) anchor the
     TOP-LEFT corner of the top-left pixel (GDAL convention); yres is the
@@ -83,20 +85,20 @@ def write_geotiff(
     COMPRESS=DEFLATE` emits; elevation grids typically shrink 2-4×).
     ``bigtiff=True`` emits BigTIFF (magic 43, 8-byte offsets) — mandatory
     once pixel data passes 4 GiB (33k×33k float32), the normal single-
-    raster size in the 100-TB regime."""
-    g = np.ascontiguousarray(grid, dtype=np.float32)
-    if g.ndim != 2:
-        raise ValueError(f"grid must be 2-D, got shape {g.shape}")
-    h, w = g.shape
+    raster size in the 100-TB regime. ``overviews`` appends reduced-
+    resolution grids (e.g. ``build_overviews``' levels) as chained IFDs
+    with NewSubfileType=1 — the pyramid-in-file layout GDAL reads as
+    embedded overviews; ``read_geotiff(data, ifd_index=k)`` reads level k.
+    """
+    images = [np.ascontiguousarray(grid, dtype=np.float32)] + [
+        np.ascontiguousarray(ov, dtype=np.float32) for ov in (overviews or [])
+    ]
+    for g in images:
+        if g.ndim != 2:
+            raise ValueError(f"grid must be 2-D, got shape {g.shape}")
+    h0, w0 = images[0].shape
     if is_geographic is None:
         is_geographic = 4000 <= epsg <= 4999  # EPSG geographic CRS block
-    rows_per_strip = max(1, 65536 // max(w * 4, 1))
-    n_strips = math.ceil(h / rows_per_strip)
-    strips = [g[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes() for i in range(n_strips)]
-    if compress:
-        import zlib
-
-        strips = [zlib.compress(s, 6) for s in strips]
 
     nodata_ascii = f"{nodata:.6g}".encode() + b"\x00"
     model_type = 2 if is_geographic else 1
@@ -108,54 +110,69 @@ def write_geotiff(
     ]
     geo_dir = [v for key in geo_keys for v in key]
 
-    # entries: (tag, type, count, values). Values pack inline when they fit
-    # the format's value slot (4 bytes classic, 8 BigTIFF). Strip offsets/
-    # counts use LONG8 in BigTIFF (they are what can exceed 2^32).
-    off_type = 16 if bigtiff else 4
-    entries = [
-        (_IMAGE_WIDTH, 4, 1, [w]),
-        (_IMAGE_LENGTH, 4, 1, [h]),
-        (_BITS_PER_SAMPLE, 3, 1, [32]),
-        (_COMPRESSION, 3, 1, [8 if compress else 1]),
-        (_PHOTOMETRIC, 3, 1, [1]),
-        (_STRIP_OFFSETS, off_type, n_strips, None),  # patched below
-        (_SAMPLES_PER_PIXEL, 3, 1, [1]),
-        (_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
-        (_STRIP_BYTE_COUNTS, off_type, n_strips, [len(s) for s in strips]),
-        (_PLANAR_CONFIG, 3, 1, [1]),
-        (_SAMPLE_FORMAT, 3, 1, [3]),
-        (_MODEL_PIXEL_SCALE, 12, 3, [float(xres), float(yres), 0.0]),
-        (_MODEL_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, float(x0), float(y0), 0.0]),
-        (_GEO_KEY_DIRECTORY, 3, len(geo_dir), geo_dir),
-        (_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii),
-    ]
-
-    # per-format geometry: header | IFD | out-of-line values | strip data
-    # (entry-count prefix H/Q; per-entry count + offsets I/Q; slot 4/8)
+    # per-format geometry (entry-count prefix H/Q; per-entry count and
+    # offsets I/Q; value slot 4/8); strip offsets/counts use LONG8 in
+    # BigTIFF — they are what can exceed 2^32
     if bigtiff:
         slot, hdr_fmt, hdr_sz, num_fmt, header_sz = 8, "Q", 8, "Q", 16
     else:
         slot, hdr_fmt, hdr_sz, num_fmt, header_sz = 4, "H", 2, "I", 8
     entry_sz = 4 + struct.calcsize(num_fmt) + slot
-    ifd_size = hdr_sz + entry_sz * len(entries) + slot
-    overflow_at = header_sz + ifd_size
-    overflow = bytearray()
+    off_type = 16 if bigtiff else 4
 
     def value_bytes(ftype, count, values):
-        ch, sz = _TYPES[ftype]
+        ch, _ = _TYPES[ftype]
         if ftype == 2:
             return bytes(values)
         return struct.pack(f"<{count}{ch}", *values)
 
-    # two passes: first size the overflow area, then emit with real offsets
-    sizes = [count * _TYPES[ftype][1] for _, ftype, count, _ in entries]
-    total_overflow = sum(s for s in sizes if s > slot)
-    data_at = overflow_at + total_overflow
-    strip_offsets = []
-    pos = data_at
-    for s in strips:
-        strip_offsets.append(pos)
-        pos += len(s)
+    # pass 1: per-image strips + entries (strip offsets patched in pass 2)
+    per: list[dict] = []
+    for idx, g in enumerate(images):
+        h, w = g.shape
+        rps = max(1, 65536 // max(w * 4, 1))
+        n_strips = math.ceil(h / rps)
+        strips = [g[i * rps : (i + 1) * rps].tobytes() for i in range(n_strips)]
+        if compress:
+            import zlib
+
+            strips = [zlib.compress(s, 6) for s in strips]
+        # overview IFDs scale the pixel size by the actual reduction factor
+        xr, yr = float(xres) * (w0 / w), float(yres) * (h0 / h)
+        entries = ([(_NEW_SUBFILE_TYPE, 4, 1, [1])] if idx else [])
+        entries += [
+            (_IMAGE_WIDTH, 4, 1, [w]),
+            (_IMAGE_LENGTH, 4, 1, [h]),
+            (_BITS_PER_SAMPLE, 3, 1, [32]),
+            (_COMPRESSION, 3, 1, [8 if compress else 1]),
+            (_PHOTOMETRIC, 3, 1, [1]),
+            (_STRIP_OFFSETS, off_type, n_strips, None),  # pass 2
+            (_SAMPLES_PER_PIXEL, 3, 1, [1]),
+            (_ROWS_PER_STRIP, 4, 1, [rps]),
+            (_STRIP_BYTE_COUNTS, off_type, n_strips, [len(s) for s in strips]),
+            (_PLANAR_CONFIG, 3, 1, [1]),
+            (_SAMPLE_FORMAT, 3, 1, [3]),
+            (_MODEL_PIXEL_SCALE, 12, 3, [xr, yr, 0.0]),
+            (_MODEL_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, float(x0), float(y0), 0.0]),
+            (_GEO_KEY_DIRECTORY, 3, len(geo_dir), geo_dir),
+            (_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii),
+        ]
+        per.append({"strips": strips, "entries": entries})
+
+    # layout: header | IFD0 ovf0 | IFD1 ovf1 | … | all strip data
+    pos = header_sz
+    for p in per:
+        p["sizes"] = [count * _TYPES[ftype][1] for _, ftype, count, _ in p["entries"]]
+        p["ifd_at"] = pos
+        p["ovf_at"] = pos + hdr_sz + entry_sz * len(p["entries"]) + slot
+        pos = p["ovf_at"] + sum(s for s in p["sizes"] if s > slot)
+    for p in per:
+        offs = []
+        for s in p["strips"]:
+            offs.append(pos)
+            pos += len(s)
+        i = next(i for i, ent in enumerate(p["entries"]) if ent[0] == _STRIP_OFFSETS)
+        p["entries"][i] = (_STRIP_OFFSETS, off_type, len(offs), offs)
     if not bigtiff and pos > 0xFFFFFFFF:
         # classic TIFF offsets are 32-bit; fail with direction, not a
         # struct.error deep in the IFD emit on some executor
@@ -163,26 +180,30 @@ def write_geotiff(
             f"pixel data ends at byte {pos} > 4 GiB — classic TIFF cannot "
             "address it; write with bigtiff=True"
         )
-    entries[5] = (_STRIP_OFFSETS, off_type, n_strips, strip_offsets)
 
-    ifd = bytearray(struct.pack(f"<{hdr_fmt}", len(entries)))
-    ov_pos = overflow_at
-    for (tag, ftype, count, values), size in zip(entries, sizes):
-        vb = value_bytes(ftype, count, values)
-        ifd += struct.pack("<HH", tag, ftype) + struct.pack(f"<{num_fmt}", count)
-        if size <= slot:
-            ifd += vb.ljust(slot, b"\x00")
-        else:
-            ifd += struct.pack(f"<{num_fmt}", ov_pos)
-            overflow += vb
-            ov_pos += size
-    ifd += struct.pack(f"<{num_fmt}", 0)  # no next IFD
-
-    if bigtiff:
-        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
-    else:
-        header = struct.pack("<2sHI", b"II", 42, 8)
-    return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
+    out = bytearray(
+        struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16) if bigtiff else struct.pack("<2sHI", b"II", 42, 8)
+    )
+    for k, p in enumerate(per):
+        assert len(out) == p["ifd_at"]
+        ifd = bytearray(struct.pack(f"<{hdr_fmt}", len(p["entries"])))
+        overflow = bytearray()
+        ov_pos = p["ovf_at"]
+        for (tag, ftype, count, values), size in zip(p["entries"], p["sizes"]):
+            vb = value_bytes(ftype, count, values)
+            ifd += struct.pack("<HH", tag, ftype) + struct.pack(f"<{num_fmt}", count)
+            if size <= slot:
+                ifd += vb.ljust(slot, b"\x00")
+            else:
+                ifd += struct.pack(f"<{num_fmt}", ov_pos)
+                overflow += vb
+                ov_pos += size
+        next_at = per[k + 1]["ifd_at"] if k + 1 < len(per) else 0
+        ifd += struct.pack(f"<{num_fmt}", next_at)
+        out += ifd + overflow
+    for p in per:
+        out += b"".join(p["strips"])
+    return bytes(out)
 
 
 def _parse_nodata(tags: dict) -> float | None:
@@ -195,13 +216,15 @@ def _parse_nodata(tags: dict) -> float | None:
     return None
 
 
-def read_geotiff(data) -> tuple[np.ndarray, dict]:
+def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     """Decode a band-1 TIFF/BigTIFF grid (strips or tiles, plain or
     Deflate, predictor 1/2 — the full supported-on-read list in the module
     docstring); returns (grid, meta) with meta = {x0, y0, xres, yres, epsg,
     is_geographic, nodata} (geo fields None when the file carries no
     GeoTIFF keys — callers decide whether a missing CRS is fatal, mirroring
-    reference core.py:60-61).
+    reference core.py:60-61). ``ifd_index`` follows the IFD chain:
+    0 = full resolution, k ≥ 1 = the k-th embedded overview (LOD reads
+    from a COG / pyramid-carrying file without touching base pixels).
 
     Accepts bytes, a filesystem path, or an open binary file handle — the
     engine twin of the reference's path-or-open-dataset ingest surface
@@ -249,6 +272,12 @@ def read_geotiff(data) -> tuple[np.ndarray, dict]:
     # malformed/truncated structures must surface as ValueError (the typed
     # error the permissive quarantine catches), never a raw struct.error
     try:
+        for _ in range(ifd_index):  # walk the chain to the requested IFD
+            (n_here,) = struct.unpack(f"{e}{hdr_fmt}", data[ifd_off : ifd_off + hdr_sz])
+            nxt_at = ifd_off + hdr_sz + entry_sz * n_here
+            (ifd_off,) = struct.unpack(f"{e}{num_fmt}", data[nxt_at : nxt_at + num_sz])
+            if ifd_off == 0:
+                raise ValueError(f"TIFF has no IFD #{ifd_index} (chain ended)")
         (n_entries,) = struct.unpack(f"{e}{hdr_fmt}", data[ifd_off : ifd_off + hdr_sz])
         tags: dict[int, list] = {}
         for i in range(n_entries):
@@ -491,6 +520,7 @@ def write_geotiff_files(
     out_dir: str,
     nodata: float = NODATA_DEFAULT,
     compress: bool = False,
+    overview_levels: int = 0,
 ) -> list[str]:
     """DTM output rows (image_id, bytes, w, h, fmt, lon0/lat0/xres_m/yres_m,
     crs, is_geographic when present) → one .tif per row under ``out_dir`` —
@@ -515,6 +545,16 @@ def write_geotiff_files(
                 if row.bytes is None:  # quarantined in permissive mode
                     continue
                 grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                ovs = None
+                if overview_levels:
+                    # embed the pyramid (GDAL-readable overviews) so LOD
+                    # consumers never touch base pixels
+                    from dsm2dtm_spark.operators.terrain import overview_levels_numpy
+
+                    ovs = [
+                        np.where(cnt > 0, value, float(nodata)).astype(np.float32)
+                        for _, cnt, value in overview_levels_numpy(grid, overview_levels)
+                    ]
                 name = os.path.basename(str(row.image_id)).rsplit(".", 1)[0] or "raster"
                 digest = hashlib.md5(str(row.image_id).encode()).hexdigest()[:8]
                 path = os.path.join(out_dir, f"{name}_{digest}_dtm.tif")
@@ -528,6 +568,7 @@ def write_geotiff_files(
                     nodata=nodata,
                     is_geographic=bool(getattr(row, "is_geographic", False)),
                     compress=compress,
+                    overviews=ovs,
                 )
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:

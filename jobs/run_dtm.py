@@ -52,6 +52,13 @@ def main():
         action="store_true",
         help="Deflate-compress the --geotiff-out files (TIFF Compression=8)",
     )
+    ap.add_argument(
+        "--geotiff-overviews",
+        type=int,
+        default=0,
+        help="embed N pyramid levels (chained reduced-resolution IFDs, "
+        "GDAL-readable overviews) in each --geotiff-out file",
+    )
     ap.add_argument("--cores", type=int, default=None, help="local-mode core count (ignored under a cluster master)")
     args = ap.parse_args()
 
@@ -126,7 +133,10 @@ def main():
         if geo_cols:
             dtm_rows = dtm_rows.join(src.select("image_id", *geo_cols), on="image_id")
         tif_paths = tiffio.write_geotiff_files(
-            dtm_rows, args.geotiff_out, compress=args.geotiff_compress
+            dtm_rows,
+            args.geotiff_out,
+            compress=args.geotiff_compress,
+            overview_levels=args.geotiff_overviews,
         )
 
     print(

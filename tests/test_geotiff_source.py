@@ -538,3 +538,36 @@ class TestSparseAndRobustness:
         data = struct.pack("<2sHI", b"II", 42, 8) + ifd + bomb
         grid, _ = tiffio.read_geotiff(data)  # 3×4 zeros — capped, not 64 MiB
         np.testing.assert_array_equal(grid, np.zeros((3, 4), dtype=np.float32))
+
+
+class TestEmbeddedOverviews:
+    @pytest.mark.parametrize("bigtiff,compress", [(False, False), (False, True), (True, True)])
+    def test_pyramid_in_file_roundtrip(self, bigtiff, compress):
+        from dsm2dtm_spark.operators.terrain import overview_levels_numpy
+
+        g = _grid()
+        levels = overview_levels_numpy(g, 2)
+        ovs = []
+        for _, cnt, value in levels:
+            ov = np.where(cnt > 0, value, float(NODATA_DEFAULT)).astype(np.float32)
+            ovs.append(ov)
+        data = tiffio.write_geotiff(
+            g, 500000.0, 4000000.0, 1.0, 1.0, epsg=32631,
+            compress=compress, bigtiff=bigtiff, overviews=ovs,
+        )
+        base, meta0 = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(base, g)
+        assert (meta0["xres"], meta0["epsg"]) == (1.0, 32631)
+        for k, ov in enumerate(ovs, start=1):
+            got, meta = tiffio.read_geotiff(data, ifd_index=k)
+            np.testing.assert_array_equal(got, ov)
+            # overview pixel size scales by the actual reduction factor
+            assert meta["xres"] == pytest.approx(g.shape[1] / ov.shape[1])
+            assert meta["nodata"] == NODATA_DEFAULT
+        with pytest.raises(ValueError, match="no IFD"):
+            tiffio.read_geotiff(data, ifd_index=len(ovs) + 1)
+
+    def test_plain_file_has_single_ifd(self):
+        data = tiffio.write_geotiff(_grid(), 0.0, 0.0, 1.0, 1.0)
+        with pytest.raises(ValueError, match="no IFD"):
+            tiffio.read_geotiff(data, ifd_index=1)
