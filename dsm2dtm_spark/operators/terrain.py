@@ -286,7 +286,7 @@ OVERVIEW_SCHEMA = "image_id string, level int, py int, px int, n_src long, value
 
 
 def overview_levels_numpy(
-    grid: np.ndarray, levels: int
+    grid: np.ndarray, levels: int, nodata: float = NODATA_DEFAULT
 ) -> list[tuple[int, np.ndarray, np.ndarray]]:
     """[(level, counts, values)] of downsample levels. Level k cell (py, px)
     = mean of the VALID BASE pixels in its 2^k × 2^k window — GDAL's average
@@ -297,8 +297,8 @@ def overview_levels_numpy(
     numpy's, Spark's, or DuckDB's — can change a bit. ``counts`` is the
     number of valid base pixels under the cell; cells with count 0 are
     nodata."""
-    s = np.where(grid != NODATA_DEFAULT, grid.astype(np.float64), 0.0)
-    cnt = (grid != NODATA_DEFAULT).astype(np.int64)
+    s = np.where(grid != nodata, grid.astype(np.float64), 0.0)
+    cnt = (grid != nodata).astype(np.int64)
     out = []
     for level in range(1, levels + 1):
         h, w = s.shape

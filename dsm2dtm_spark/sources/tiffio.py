@@ -94,8 +94,8 @@ def write_geotiff(
         np.ascontiguousarray(ov, dtype=np.float32) for ov in (overviews or [])
     ]
     for g in images:
-        if g.ndim != 2:
-            raise ValueError(f"grid must be 2-D, got shape {g.shape}")
+        if g.ndim != 2 or 0 in g.shape:
+            raise ValueError(f"grid must be 2-D and non-empty, got shape {g.shape}")
     h0, w0 = images[0].shape
     if is_geographic is None:
         is_geographic = 4000 <= epsg <= 4999  # EPSG geographic CRS block
@@ -363,9 +363,14 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
         return arr.astype(native, copy=True).cumsum(axis=1, dtype=native)
 
     # sparse blocks (GDAL SPARSE_OK: offset 0 / count 0) read as the file's
-    # nodata value, or 0 without one — GDAL's own semantics
+    # nodata value, or 0 without one — GDAL's own semantics. A nodata the
+    # sample type cannot hold (e.g. 'nan' on uint16) falls back to 0 rather
+    # than failing files that contain no sparse blocks at all.
     nodata_val = _parse_nodata(tags)
-    fill = native.type(nodata_val if nodata_val is not None else 0)
+    try:
+        fill = native.type(nodata_val) if nodata_val is not None else native.type(0)
+    except (ValueError, OverflowError):
+        fill = native.type(0)
 
     if _TILE_OFFSETS in tags:
         # tiled layout (what COG / gdal -co TILED=YES emits): the image is a
@@ -410,6 +415,10 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
         expected = w * h * spp_interleaved * item
         parts, got = [], 0
         for i, (o, c) in enumerate(zip(offsets, counts)):
+            if got >= expected:
+                # image complete — a cap of 0 would mean UNLIMITED to zlib,
+                # so never hand trailing (possibly bomb) strips to inflate
+                break
             if c == 0 or o == 0:
                 # sparse strip: synthesize it in STORED form so the shared
                 # predictor undo below reproduces the constant fill exactly
@@ -553,7 +562,9 @@ def write_geotiff_files(
 
                     ovs = [
                         np.where(cnt > 0, value, float(nodata)).astype(np.float32)
-                        for _, cnt, value in overview_levels_numpy(grid, overview_levels)
+                        for _, cnt, value in overview_levels_numpy(
+                            grid, overview_levels, nodata=float(nodata)
+                        )
                     ]
                 name = os.path.basename(str(row.image_id)).rsplit(".", 1)[0] or "raster"
                 digest = hashlib.md5(str(row.image_id).encode()).hexdigest()[:8]

@@ -571,3 +571,84 @@ class TestEmbeddedOverviews:
         data = tiffio.write_geotiff(_grid(), 0.0, 0.0, 1.0, 1.0)
         with pytest.raises(ValueError, match="no IFD"):
             tiffio.read_geotiff(data, ifd_index=1)
+
+
+class TestReviewHardening:
+    def test_trailing_bomb_strip_never_inflated(self):
+        # extra strip entries past the image's byte need must be ignored:
+        # cap 0 means UNLIMITED to zlib, so the loop has to break instead
+        import struct
+        import zlib
+
+        g = np.arange(12, dtype="<f4").reshape(3, 4)
+        good = zlib.compress(g.tobytes())
+        bomb = zlib.compress(b"\x00" * (32 << 20))
+        entries = [
+            (256, 4, 1, struct.pack("<I", 4)),
+            (257, 4, 1, struct.pack("<I", 3)),
+            (258, 3, 1, struct.pack("<HH", 32, 0)),
+            (259, 3, 1, struct.pack("<HH", 8, 0)),
+            (273, 4, 2, None),
+            (278, 4, 1, struct.pack("<I", 3)),
+            (279, 4, 2, None),
+            (339, 3, 1, struct.pack("<HH", 3, 0)),
+        ]
+        ifd_end = 8 + 2 + 12 * len(entries) + 4
+        off_at, cnt_at = ifd_end, ifd_end + 8
+        data_at = cnt_at + 8
+        vals = {273: struct.pack("<I", off_at), 279: struct.pack("<I", cnt_at)}
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, val in sorted(entries):
+            ifd += struct.pack("<HHI", tag, ftype, count) + vals.get(tag, val or b"").ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        overflow = struct.pack("<2I", data_at, data_at + len(good))
+        overflow += struct.pack("<2I", len(good), len(bomb))
+        data = struct.pack("<2sHI", b"II", 42, 8) + ifd + overflow + good + bomb
+        grid, _ = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(grid, g)
+
+    def test_integer_file_with_nan_nodata_still_reads(self):
+        # GDAL_NODATA 'nan' on a uint16 file: unrepresentable fill must not
+        # crash a file that has no sparse blocks
+        import struct
+
+        h, w = 3, 4
+        g = np.arange(h * w, dtype="<u2").reshape(h, w)
+        nodata_ascii = b"nan\x00"
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, 1, struct.pack("<HH", 16, 0)),
+            (259, 3, 1, struct.pack("<HH", 1, 0)),
+            (273, 4, 1, None),
+            (279, 4, 1, struct.pack("<I", g.nbytes)),
+            (339, 3, 1, struct.pack("<HH", 1, 0)),
+            (42113, 2, len(nodata_ascii), nodata_ascii),  # 4 bytes → inline
+        ]
+        ifd_end = 8 + 2 + 12 * len(entries) + 4
+        strip_at = ifd_end
+        vals = {273: struct.pack("<I", strip_at)}
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, val in sorted(entries):
+            ifd += struct.pack("<HHI", tag, ftype, count) + vals.get(tag, val or b"").ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        data = struct.pack("<2sHI", b"II", 42, 8) + ifd + g.tobytes()
+        grid, meta = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(grid, g)
+        assert np.isnan(meta["nodata"])
+
+    def test_empty_grid_rejected_typed(self):
+        with pytest.raises(ValueError, match="non-empty"):
+            tiffio.write_geotiff(np.zeros((0, 5), dtype=np.float32), 0, 0, 1.0, 1.0)
+        with pytest.raises(ValueError, match="non-empty"):
+            tiffio.write_geotiff(
+                np.ones((4, 4), dtype=np.float32), 0, 0, 1.0, 1.0,
+                overviews=[np.zeros((4, 0), dtype=np.float32)],
+            )
+
+    def test_overview_kernel_honors_custom_nodata(self):
+        from dsm2dtm_spark.operators.terrain import overview_levels_numpy
+
+        g = np.array([[1.0, -9999.0], [3.0, 5.0]], dtype=np.float32)
+        (_, cnt, value), = overview_levels_numpy(g, 1, nodata=-9999.0)
+        assert cnt[0, 0] == 3 and value[0, 0] == (1.0 + 3.0 + 5.0) / 3.0
