@@ -937,6 +937,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_elevation_bands"] = img_elevation_bands
 
+    def img_curvature_stats(spark, sf):
+        # Laplacian curvature (third terrain derivative): identical IEEE
+        # association on both engines → exact convex/concave counts
+        from dsm2dtm_spark.operators.terrain import curvature_stats
+
+        return curvature_stats(_images(spark))
+
+    q["img_curvature_stats"] = img_curvature_stats
+
     def fp_overlap_pairs(spark, sf):
         # vector×vector spatial self-join: overlapping footprint-bbox pairs
         # with exact intersection area — cell-cover equi-join candidates,
@@ -1628,6 +1637,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(cum // 512 AS BIGINT) AS pack_idx,
                CAST(cum % 512 AS BIGINT) AS offset_in_pack
         FROM c
+    """
+
+    o["img_curvature_stats"] = f"""
+        WITH img AS (
+            SELECT image_id, xres_m, yres_m FROM read_parquet('{_IMAGES_PQ}')
+        ),
+        p AS (
+            SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
+            FROM read_parquet('{_PIXELS_PQ}')
+        ),
+        g AS (
+            SELECT c.image_id,
+                   (e.v - 2.0 * c.v + w.v) / (img.xres_m * img.xres_m)
+                       + (s.v - 2.0 * c.v + n.v) / (img.yres_m * img.yres_m) AS lap
+            FROM p c
+            JOIN img USING (image_id)
+            JOIN p e ON e.image_id = c.image_id AND e.py = c.py AND e.px = c.px + 1
+            JOIN p w ON w.image_id = c.image_id AND w.py = c.py AND w.px = c.px - 1
+            JOIN p s ON s.image_id = c.image_id AND s.py = c.py + 1 AND s.px = c.px
+            JOIN p n ON n.image_id = c.image_id AND n.py = c.py - 1 AND n.px = c.px
+        )
+        SELECT image_id, COUNT(*) AS n_px,
+               COUNT(*) FILTER (WHERE lap <= -0.1) AS n_convex,
+               COUNT(*) FILTER (WHERE lap >= 0.1) AS n_concave,
+               ROUND(MAX(lap), 4) AS max_lap,
+               ROUND(MIN(lap), 4) AS min_lap,
+               ROUND(AVG(lap), 4) AS mean_lap
+        FROM g GROUP BY image_id
     """
 
     o["img_elevation_bands"] = f"""

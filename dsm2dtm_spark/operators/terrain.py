@@ -188,6 +188,68 @@ def aspect_octants(images: DataFrame) -> DataFrame:
     return meta.mapInPandas(stats, ASPECT_SCHEMA)
 
 
+CURVATURE_SCHEMA = (
+    "image_id string, n_px long, n_convex long, n_concave long, "
+    "max_lap double, min_lap double, mean_lap double"
+)
+
+
+def curvature_stats(
+    images: DataFrame, flat_tol: float = 0.1, value_round: int = 4
+) -> DataFrame:
+    """Laplacian curvature statistics — the third terrain derivative next
+    to slope and aspect. At each interior pixel with 4 valid neighbours:
+        lap = (E − 2·C + W) / xres² + (S − 2·C + N) / yres²     [1/m]
+    Negative Laplacian = locally convex (ridges/domes, ``n_convex`` counts
+    lap ≤ −flat_tol), positive = concave (valleys/pits, ``n_concave``
+    counts lap ≥ flat_tol). The SQL oracle replays the identical IEEE
+    association via the same 4 self-joins + centre, so the threshold
+    counts are exact; only max/min/mean are rounded on emit."""
+    meta = ensure_min_partitions(
+        images.select("image_id", "bytes", "w", "h", "fmt", "xres_m", "yres_m"), mult=2
+    )
+    cols = ["image_id", "n_px", "n_convex", "n_concave", "max_lap", "min_lap", "mean_lap"]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                g = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                if g.shape[0] < 3 or g.shape[1] < 3:
+                    continue
+                v = g != NODATA_DEFAULT
+                m = v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2] & v[2:, 1:-1] & v[:-2, 1:-1]
+                if not m.any():
+                    continue
+                g64 = g.astype(np.float64)
+                c = g64[1:-1, 1:-1]
+                xr, yr = float(row.xres_m), float(row.yres_m)
+                d2x = (g64[1:-1, 2:] - 2.0 * c + g64[1:-1, :-2]) / (xr * xr)
+                d2y = (g64[2:, 1:-1] - 2.0 * c + g64[:-2, 1:-1]) / (yr * yr)
+                lap = (d2x + d2y)[m]
+                rows.append(
+                    {
+                        "image_id": row.image_id,
+                        "n_px": int(lap.size),
+                        "n_convex": int(np.sum(lap <= -flat_tol)),
+                        "n_concave": int(np.sum(lap >= flat_tol)),
+                        "max_lap": float(lap.max()),
+                        "min_lap": float(lap.min()),
+                        "mean_lap": float(lap.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = meta.mapInPandas(stats, CURVATURE_SCHEMA)
+    r = value_round
+    return out.select(
+        "image_id", "n_px", "n_convex", "n_concave",
+        F.round("max_lap", r).alias("max_lap"),
+        F.round("min_lap", r).alias("min_lap"),
+        F.round("mean_lap", r).alias("mean_lap"),
+    )
+
+
 # ------------------------------------------------------------------- nDSM
 
 NDSM_SCHEMA = "image_id string, n_px long, n_above long, max_ndsm double, mean_ndsm double"

@@ -38,15 +38,36 @@ def _grid(h, w, seed, nodata_frac):
 
 class TestTiffProperties:
     @FAST
-    @given(grids)
-    def test_roundtrip_identity(self, hwsf):
+    @given(grids, st.booleans(), st.booleans())
+    def test_roundtrip_identity(self, hwsf, compress, bigtiff):
         h, w, seed, frac = hwsf
         g = _grid(h, w, seed, frac)
-        data = tiffio.write_geotiff(g, x0=1.5, y0=2.5, xres=0.5, yres=0.25, epsg=32631)
+        data = tiffio.write_geotiff(
+            g, x0=1.5, y0=2.5, xres=0.5, yres=0.25, epsg=32631,
+            compress=compress, bigtiff=bigtiff,
+        )
         back, meta = tiffio.read_geotiff(data)
         np.testing.assert_array_equal(back, g)
         assert (meta["x0"], meta["y0"], meta["xres"], meta["yres"]) == (1.5, 2.5, 0.5, 0.25)
         assert meta["epsg"] == 32631
+
+    @FAST
+    @given(grids)
+    def test_roundtrip_with_embedded_overviews(self, hwsf):
+        from dsm2dtm_spark.operators.terrain import overview_levels_numpy
+
+        h, w, seed, frac = hwsf
+        g = _grid(h, w, seed, frac)
+        ovs = [
+            np.where(cnt > 0, value, float(NODATA_DEFAULT)).astype(np.float32)
+            for _, cnt, value in overview_levels_numpy(g, 2)
+        ]
+        data = tiffio.write_geotiff(g, 1.5, 2.5, 0.5, 0.25, overviews=ovs)
+        back, _ = tiffio.read_geotiff(data)
+        np.testing.assert_array_equal(back, g)
+        for k, ov in enumerate(ovs, start=1):
+            got, _ = tiffio.read_geotiff(data, ifd_index=k)
+            np.testing.assert_array_equal(got, ov)
 
     @FAST
     @given(st.binary(min_size=0, max_size=64))

@@ -156,6 +156,36 @@ class TestOverviews:
             assert got[k][1] == pytest.approx(want[k][1], abs=1e-4), k
 
 
+class TestCurvature:
+    def test_plane_is_flat(self, spark):
+        yy, xx = np.mgrid[0:6, 0:6]
+        g = (100.0 + 2.0 * xx + 3.0 * yy).astype(np.float32)  # linear → lap 0
+        r = terrain.curvature_stats(
+            spark.createDataFrame(pd.DataFrame([_img("p", g)]))
+        ).collect()[0]
+        assert r.n_px == 16 and r.n_convex == 0 and r.n_concave == 0
+        assert r.max_lap == 0.0 and r.min_lap == 0.0
+
+    def test_paraboloid_concave_exact(self, spark):
+        # z = x² + y²: d²z/dx² = d²z/dy² = 2 → lap = 4/res² everywhere
+        yy, xx = np.mgrid[0:7, 0:7]
+        g = ((xx - 3.0) ** 2 + (yy - 3.0) ** 2).astype(np.float32)
+        r = terrain.curvature_stats(
+            spark.createDataFrame(pd.DataFrame([_img("b", g, xres=2.0, yres=2.0)]))
+        ).collect()[0]
+        assert r.n_px == 25 and r.n_concave == 25 and r.n_convex == 0
+        assert r.mean_lap == pytest.approx(4.0 / 4.0, abs=1e-4)
+
+    def test_dome_is_convex(self, spark):
+        yy, xx = np.mgrid[0:7, 0:7]
+        g = (200.0 - (xx - 3.0) ** 2 - (yy - 3.0) ** 2).astype(np.float32)
+        r = terrain.curvature_stats(
+            spark.createDataFrame(pd.DataFrame([_img("d", g)]))
+        ).collect()[0]
+        assert r.n_convex == r.n_px and r.n_concave == 0
+        assert r.max_lap == -4.0
+
+
 class TestElevationBands:
     def test_hand_bands(self, spark):
         g = np.array([[5.0, 15.0], [25.0, -3.0]], dtype=np.float32)
