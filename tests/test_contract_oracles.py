@@ -32,6 +32,8 @@ SUBSET = [
     "emb_topk_cosine",
     "img_tile_assignments",
     "img_knn_anchors",
+    "img_slope_shade_stats",
+    "docs_pack_sequences",
 ]
 
 
