@@ -1543,8 +1543,11 @@ def oracle_sql() -> dict[str, str]:
     # border or nodata neighbour simply has no row). Identical IEEE
     # association as the engine: (E−W)/(2·xres), sqrt(gx*gx + gy*gy),
     # (lz − lx·gx − ly·gy)/sqrt(1 + gx² + gy²) — so the threshold counts
-    # are exact and only the emitted doubles are rounded.
-    o["img_slope_shade_stats"] = f"""
+    # are exact and only the emitted doubles are rounded. The join skeleton
+    # is ONE shared fragment so the three derivative oracles (slope/shade,
+    # aspect, curvature) cannot drift from each other.
+    def _stencil_cte(exprs: str) -> str:
+        return f"""
         WITH img AS (
             SELECT image_id, xres_m, yres_m FROM read_parquet('{_IMAGES_PQ}')
         ),
@@ -1554,15 +1557,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         g AS (
             SELECT c.image_id,
-                   (e.v - w.v) / (2.0 * img.xres_m) AS gx,
-                   (s.v - n.v) / (2.0 * img.yres_m) AS gy
+                   {exprs}
             FROM p c
             JOIN img USING (image_id)
             JOIN p e ON e.image_id = c.image_id AND e.py = c.py AND e.px = c.px + 1
             JOIN p w ON w.image_id = c.image_id AND w.py = c.py AND w.px = c.px - 1
             JOIN p s ON s.image_id = c.image_id AND s.py = c.py + 1 AND s.px = c.px
             JOIN p n ON n.image_id = c.image_id AND n.py = c.py - 1 AND n.px = c.px
-        ),
+        )"""
+
+    o["img_slope_shade_stats"] = _stencil_cte(
+        """(e.v - w.v) / (2.0 * img.xres_m) AS gx,
+                   (s.v - n.v) / (2.0 * img.yres_m) AS gy"""
+    ) + """,
         d AS (
             SELECT image_id, SQRT(gx*gx + gy*gy) AS slope,
                    (0.8 - 0.48*gx - 0.36*gy) / SQRT(1.0 + gx*gx + gy*gy) AS shade
@@ -1582,25 +1589,10 @@ def oracle_sql() -> dict[str, str]:
     # identical ordered CASE over (de, dn) = (−gx, gy) — np.select and CASE
     # evaluate the same disjoint conditions in the same order on the same
     # bits, so counts are exact
-    o["img_aspect_octants"] = f"""
-        WITH img AS (
-            SELECT image_id, xres_m, yres_m FROM read_parquet('{_IMAGES_PQ}')
-        ),
-        p AS (
-            SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
-            FROM read_parquet('{_PIXELS_PQ}')
-        ),
-        g AS (
-            SELECT c.image_id,
-                   -((e.v - w.v) / (2.0 * img.xres_m)) AS de,
-                   (s.v - n.v) / (2.0 * img.yres_m) AS dn
-            FROM p c
-            JOIN img USING (image_id)
-            JOIN p e ON e.image_id = c.image_id AND e.py = c.py AND e.px = c.px + 1
-            JOIN p w ON w.image_id = c.image_id AND w.py = c.py AND w.px = c.px - 1
-            JOIN p s ON s.image_id = c.image_id AND s.py = c.py + 1 AND s.px = c.px
-            JOIN p n ON n.image_id = c.image_id AND n.py = c.py - 1 AND n.px = c.px
-        ),
+    o["img_aspect_octants"] = _stencil_cte(
+        """-((e.v - w.v) / (2.0 * img.xres_m)) AS de,
+                   (s.v - n.v) / (2.0 * img.yres_m) AS dn"""
+    ) + """,
         o AS (
             SELECT image_id,
                    CASE
@@ -1639,25 +1631,10 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
 
-    o["img_curvature_stats"] = f"""
-        WITH img AS (
-            SELECT image_id, xres_m, yres_m FROM read_parquet('{_IMAGES_PQ}')
-        ),
-        p AS (
-            SELECT image_id, py, px, CAST(value AS DOUBLE) AS v
-            FROM read_parquet('{_PIXELS_PQ}')
-        ),
-        g AS (
-            SELECT c.image_id,
-                   (e.v - 2.0 * c.v + w.v) / (img.xres_m * img.xres_m)
-                       + (s.v - 2.0 * c.v + n.v) / (img.yres_m * img.yres_m) AS lap
-            FROM p c
-            JOIN img USING (image_id)
-            JOIN p e ON e.image_id = c.image_id AND e.py = c.py AND e.px = c.px + 1
-            JOIN p w ON w.image_id = c.image_id AND w.py = c.py AND w.px = c.px - 1
-            JOIN p s ON s.image_id = c.image_id AND s.py = c.py + 1 AND s.px = c.px
-            JOIN p n ON n.image_id = c.image_id AND n.py = c.py - 1 AND n.px = c.px
-        )
+    o["img_curvature_stats"] = _stencil_cte(
+        """(e.v - 2.0 * c.v + w.v) / (img.xres_m * img.xres_m)
+                       + (s.v - 2.0 * c.v + n.v) / (img.yres_m * img.yres_m) AS lap"""
+    ) + """
         SELECT image_id, COUNT(*) AS n_px,
                COUNT(*) FILTER (WHERE lap <= -0.1) AS n_convex,
                COUNT(*) FILTER (WHERE lap >= 0.1) AS n_concave,

@@ -51,6 +51,18 @@ SLOPE_SHADE_SCHEMA = (
 )
 
 
+def interior_valid_mask(g: np.ndarray) -> np.ndarray | None:
+    """Interior-pixel mask (shape (h−2, w−2)): centre + 4 neighbours all
+    valid. None when the grid is too small or no pixel qualifies — ONE
+    definition of stencil validity, shared by every derivative operator so
+    a rule change cannot drift between them."""
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return None
+    v = g != NODATA_DEFAULT
+    m = v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2] & v[2:, 1:-1] & v[:-2, 1:-1]
+    return m if m.any() else None
+
+
 def interior_gradients(
     g: np.ndarray, xres_m: float, yres_m: float
 ) -> tuple[np.ndarray, np.ndarray] | None:
@@ -58,11 +70,8 @@ def interior_gradients(
     pixels whose centre + 4 neighbours are all valid; None when no pixel
     qualifies. gy is pixel-space (+y points south). Shared by the slope/
     hillshade and aspect operators so the gradient bits are identical."""
-    if g.shape[0] < 3 or g.shape[1] < 3:
-        return None
-    v = g != NODATA_DEFAULT
-    m = v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2] & v[2:, 1:-1] & v[:-2, 1:-1]
-    if not m.any():
+    m = interior_valid_mask(g)
+    if m is None:
         return None
     g64 = g.astype(np.float64)
     gx = ((g64[1:-1, 2:] - g64[1:-1, :-2]) / (2.0 * xres_m))[m]
@@ -215,11 +224,8 @@ def curvature_stats(
             rows = []
             for row in pdf.itertuples(index=False):
                 g = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-                if g.shape[0] < 3 or g.shape[1] < 3:
-                    continue
-                v = g != NODATA_DEFAULT
-                m = v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2] & v[2:, 1:-1] & v[:-2, 1:-1]
-                if not m.any():
+                m = interior_valid_mask(g)
+                if m is None:
                     continue
                 g64 = g.astype(np.float64)
                 c = g64[1:-1, 1:-1]
@@ -359,8 +365,9 @@ def overview_levels_numpy(
     numpy's, Spark's, or DuckDB's — can change a bit. ``counts`` is the
     number of valid base pixels under the cell; cells with count 0 are
     nodata."""
-    s = np.where(grid != nodata, grid.astype(np.float64), 0.0)
-    cnt = (grid != nodata).astype(np.int64)
+    valid = ~np.isnan(grid) if np.isnan(nodata) else ~(grid == nodata)
+    s = np.where(valid, grid.astype(np.float64), 0.0)
+    cnt = valid.astype(np.int64)
     out = []
     for level in range(1, levels + 1):
         h, w = s.shape

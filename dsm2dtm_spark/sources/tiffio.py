@@ -185,7 +185,8 @@ def write_geotiff(
         struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16) if bigtiff else struct.pack("<2sHI", b"II", 42, 8)
     )
     for k, p in enumerate(per):
-        assert len(out) == p["ifd_at"]
+        if len(out) != p["ifd_at"]:  # layout invariant — never strip-able (-O)
+            raise RuntimeError(f"IFD layout desync: at {len(out)}, expected {p['ifd_at']}")
         ifd = bytearray(struct.pack(f"<{hdr_fmt}", len(p["entries"])))
         overflow = bytearray()
         ov_pos = p["ovf_at"]
@@ -419,11 +420,15 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
                 # image complete — a cap of 0 would mean UNLIMITED to zlib,
                 # so never hand trailing (possibly bomb) strips to inflate
                 break
+            # each strip's exact byte share: over- or under-inflating a
+            # strip must raise/truncate HERE, not silently shift every
+            # following strip's rows (the tile path's per-tile check)
+            rows_i = max(0, min(rps, h - i * rps))
+            exp_i = rows_i * w * spp_interleaved * item
             if c == 0 or o == 0:
                 # sparse strip: synthesize it in STORED form so the shared
                 # predictor undo below reproduces the constant fill exactly
                 # (differenced form: first column = fill, deltas 0)
-                rows_i = max(0, min(rps, h - i * rps))
                 blk = np.zeros((rows_i, w, spp_interleaved), dtype=stored)
                 if predictor == 2:
                     blk[:, 0, :] = fill
@@ -431,7 +436,10 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
                     blk[:] = fill
                 parts.append(blk.tobytes())
             else:
-                parts.append(inflate(data[o : o + c], expected - got))
+                part = inflate(data[o : o + c], exp_i)[:exp_i]
+                if len(part) < exp_i:
+                    raise ValueError(f"TIFF strip {i} truncated: {len(part)} < {exp_i}")
+                parts.append(part)
             got += len(parts[-1])
         buf = b"".join(parts)
         if len(buf) < expected:
