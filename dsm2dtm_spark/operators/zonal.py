@@ -119,12 +119,16 @@ def zonal_stats(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            grid_cache: dict[str, np.ndarray] = {}
+            # sort by image_id so same-image candidates are adjacent: ONE
+            # decoded grid is resident at a time instead of every distinct
+            # image in the batch (unbounded-cache peak-memory fix); output
+            # order is irrelevant (per-pair aggregates)
+            pdf = pdf.sort_values("image_id", kind="stable")
+            cached_id, grid = None, None
             for row in pdf.itertuples(index=False):
-                gid = row.image_id
-                if gid not in grid_cache:
-                    grid_cache[gid] = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-                grid = grid_cache[gid]
+                if row.image_id != cached_id:
+                    grid = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                    cached_id = row.image_id
                 lons, lats = pixel_center_lonlat(
                     float(row.lon0), float(row.lat0), float(row.xres_m), float(row.yres_m),
                     int(row.h), int(row.w),
@@ -195,7 +199,9 @@ def point_sample(images: DataFrame, points: DataFrame, cell_res: int = 8) -> Dat
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            grid_cache: dict[str, np.ndarray] = {}
+            # same single-grid residency trick as zonal_stats (sorted batch)
+            pdf = pdf.sort_values("image_id", kind="stable")
+            cached_id, grid = None, None
             for row in pdf.itertuples(index=False):
                 h, w = int(row.h), int(row.w)
                 scale = M_PER_DEG_LON_EQ * lon_scale(float(row.lat0))
@@ -203,9 +209,10 @@ def point_sample(images: DataFrame, points: DataFrame, cell_res: int = 8) -> Dat
                 py = int(np.floor((float(row.lat0) - float(row.y)) * M_PER_DEG_LAT / float(row.yres_m)))
                 if not (0 <= px < w and 0 <= py < h):
                     continue
-                if row.image_id not in grid_cache:
-                    grid_cache[row.image_id] = codecs.decode(row.bytes, h, w, row.fmt)
-                v = float(grid_cache[row.image_id][py, px])
+                if row.image_id != cached_id:
+                    grid = codecs.decode(row.bytes, h, w, row.fmt)
+                    cached_id = row.image_id
+                v = float(grid[py, px])
                 if v == NODATA_DEFAULT:
                     continue
                 rows.append(

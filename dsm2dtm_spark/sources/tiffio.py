@@ -207,6 +207,25 @@ def write_geotiff(
     return bytes(out)
 
 
+def _check_claimed_alloc(claimed_bytes: int, file_bytes: int) -> None:
+    """Bound the pixel-buffer allocation implied by header tags against the
+    actual file size BEFORE allocating: a crafted few-hundred-byte file
+    claiming a huge ImageWidth/Length or TileWidth/Length would otherwise
+    force a multi-GB ``np.empty`` (executor OOM) while sidestepping the
+    per-strip Deflate-bomb cap, which only guards the data path. Deflate's
+    theoretical max expansion is 1032:1, so any claim past ~1100× the bytes
+    on disk is a forged header, not data; a 64 MiB floor keeps legitimately
+    sparse files (tiny file, real grid of sparse blocks) readable. Raises
+    the typed ValueError the permissive quarantine path expects."""
+    allowance = max(64 << 20, 1100 * max(file_bytes, 1))
+    if claimed_bytes > allowance:
+        raise ValueError(
+            f"TIFF header claims {claimed_bytes} pixel bytes from a "
+            f"{file_bytes}-byte file (> {allowance} allowed) — forged or "
+            "corrupt dimensions"
+        )
+
+
 def _parse_nodata(tags: dict) -> float | None:
     nd = tags.get(_GDAL_NODATA)
     if nd:
@@ -388,6 +407,7 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
         if len(offsets) < n_band_tiles:
             raise ValueError(f"TIFF tile table too short: {len(offsets)} < {n_band_tiles}")
         # planar band 1 = the first across×down tiles; chunky uses them all
+        _check_claimed_alloc(down * tl * across * tw * spp_interleaved * item, len(data))
         full = np.empty((down * tl, across * tw, spp_interleaved), dtype=native)
         t_expected = tl * tw * spp_interleaved * item
         for idx in range(n_band_tiles):
@@ -414,6 +434,7 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
             n_band_strips = math.ceil(h / rps)
             offsets, counts = offsets[:n_band_strips], counts[:n_band_strips]
         expected = w * h * spp_interleaved * item
+        _check_claimed_alloc(expected, len(data))
         parts, got = [], 0
         for i, (o, c) in enumerate(zip(offsets, counts)):
             if got >= expected:

@@ -17,6 +17,21 @@ import argparse
 import json
 
 
+def check_resume_mode(out, mode: str) -> None:
+    """Fail fast when a resume flips --tiled: the two branches commit
+    different lineage columns (n_tiles/compute_ms vs phash/valid_*/wall_ms),
+    so mixing them in one table breaks the snapshot read's schema union."""
+    snap = out.current_snapshot()
+    prev = (snap.summary or {}).get("op") if snap else None
+    if prev and prev != mode:
+        raise SystemExit(
+            f"output table {out.root} was written with mode {prev!r}; "
+            f"resuming it with {mode!r} would mix incompatible lineage "
+            "schemas — rerun with the original --tiled setting or use a "
+            "fresh --output"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser(description="Generate DTMs from an image+caption table")
     ap.add_argument("--input", required=True, help="input snapshot-table root")
@@ -93,6 +108,9 @@ def main():
         done = out.read(spark)
     except ValueError:
         done = None
+    mode = "dtm-tiled" if args.tiled else "dtm"
+    if done is not None:
+        check_resume_mode(out, mode)
     todo = resume_remaining(src, done)
     n = todo.count()
     if n:
@@ -117,7 +135,7 @@ def main():
                 max_threshold=args.max_threshold,
                 permissive=args.permissive,
             )
-        out.write_dataframe(result, summary={"rows": n, "op": "dtm-tiled" if args.tiled else "dtm"})
+        out.write_dataframe(result, summary={"rows": n, "op": mode})
     snap = out.current_snapshot()
 
     tif_paths: list[str] = []

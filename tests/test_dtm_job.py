@@ -6,6 +6,7 @@ equality; plus snapshot commit + anti-join resume semantics (SURVEY.md E12)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from dsm2dtm_spark import codecs, golden, synth
@@ -124,3 +125,25 @@ class TestPermissiveMode:
         assert len(bad) == 1 and bad[0].bytes is None
         good = [r for r in rows if r.error is None]
         assert all(r.bytes is not None for r in good)
+
+
+class TestResumeModeGuard:
+    """Resuming an output table with the OTHER --tiled setting must fail
+    fast: the two branches commit different lineage columns, and a mixed
+    table would break the snapshot read's schema union (jobs/run_dtm.py)."""
+
+    def test_mode_flip_rejected_and_same_mode_allowed(self, tmp_path):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+        from run_dtm import check_resume_mode
+
+        from dsm2dtm_spark.sources import SnapshotTable
+
+        out = SnapshotTable(str(tmp_path / "out"))
+        check_resume_mode(out, "dtm")  # empty table: any mode fine
+        out.write_pandas(pd.DataFrame({"image_id": ["a"]}), summary={"rows": 1, "op": "dtm"})
+        check_resume_mode(out, "dtm")  # same mode resumes
+        with pytest.raises(SystemExit, match="mix incompatible lineage"):
+            check_resume_mode(out, "dtm-tiled")

@@ -652,3 +652,54 @@ class TestReviewHardening:
         g = np.array([[1.0, -9999.0], [3.0, 5.0]], dtype=np.float32)
         (_, cnt, value), = overview_levels_numpy(g, 1, nodata=-9999.0)
         assert cnt[0, 0] == 3 and value[0, 0] == (1.0 + 3.0 + 5.0) / 3.0
+
+
+class TestForgedHeaderBound:
+    """A crafted few-hundred-byte file claiming huge dimensions must raise
+    the typed ValueError BEFORE any multi-GB allocation (the header-claim
+    bound complements the per-strip Deflate-bomb cap)."""
+
+    @staticmethod
+    def _patch_tag(data: bytearray, tag: int, value: int) -> None:
+        import struct
+
+        n = struct.unpack("<H", data[8:10])[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            t, ftype = struct.unpack("<HH", data[off : off + 4])
+            if t == tag:
+                if ftype == 3:
+                    data[off + 8 : off + 10] = struct.pack("<H", value)
+                else:
+                    data[off + 8 : off + 12] = struct.pack("<I", value)
+                return
+        raise AssertionError(f"tag {tag} not found")
+
+    def test_strip_path_forged_dims_rejected(self):
+        data = bytearray(tiffio.write_geotiff(_grid(), 0, 0, 1.0, 1.0))
+        self._patch_tag(data, 256, 200_000)  # ImageWidth
+        self._patch_tag(data, 257, 200_000)  # ImageLength → 160 GB claim
+        with pytest.raises(ValueError, match="forged or corrupt"):
+            tiffio.read_geotiff(bytes(data))
+
+    def test_tiled_path_forged_tile_dims_rejected(self):
+        h, w, tw, tl = 5, 7, 4, 4
+        canvas = np.zeros((8, 8), dtype=np.float32)
+        tiles = [canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                 for ty in range(2) for tx in range(2)]
+        data = bytearray(TestTiffCodec._build_tiled(h, w, tw, tl, tiles, False))
+        self._patch_tag(data, 322, 60_000)  # TileWidth
+        self._patch_tag(data, 323, 60_000)  # TileLength → multi-TB claim
+        with pytest.raises(ValueError, match="forged or corrupt"):
+            tiffio.read_geotiff(bytes(data))
+
+    def test_sparse_but_legit_small_file_still_reads(self):
+        # the 64 MiB floor: a tiny file with a real (≤ floor) grid of sparse
+        # strips is legitimate and must keep reading
+        import struct
+
+        g = np.zeros((512, 512), dtype=np.float32)
+        data = bytearray(tiffio.write_geotiff(g, 0, 0, 1.0, 1.0, compress=True))
+        n = struct.unpack("<H", data[8:10])[0]
+        grid, _ = tiffio.read_geotiff(bytes(data))
+        assert grid.shape == (512, 512)
