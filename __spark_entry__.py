@@ -698,6 +698,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_minhash_near_dups"] = docs_minhash_near_dups
 
+    def docs_incremental_dedup(spark, sf):
+        # incremental cross-snapshot dedup: even doc_ids play the committed
+        # corpus (signatures/bands materialized once — the SignatureStore
+        # state), odd ids the fresh batch; the corpus TEXT is never
+        # re-shingled (pinned by tests/test_incremental_dedup.py's plan
+        # check). md5-string MinHash so DuckDB replays signatures, band
+        # buckets, and the Jaccard estimator exactly.
+        from dsm2dtm_spark.operators.incremental import band_buckets, dedup_against, sign_documents
+
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        # fresh batch = the odd docs + 10 re-crawled corpus docs (same text,
+        # new ids) so the exact-fingerprint path is exercised — testdata has
+        # no byte-identical dups of its own
+        fresh = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+        # localCheckpoint models the store: signatures are MATERIALIZED
+        # state, computed once, not a subtree Catalyst re-derives per use
+        sigs = sign_documents(corpus, method="md5").localCheckpoint(eager=True)
+        decisions, _ = dedup_against(fresh, sigs, band_buckets(sigs), method="md5", threshold=0.75)
+        return decisions.select("doc_id", "verdict")
+
+    q["docs_incremental_dedup"] = docs_incremental_dedup
+
+    def docs_decontam(spark, sf):
+        # benchmark decontamination: every 7th doc plays the eval set; flag
+        # training docs sharing any complete word 13-gram with it. String
+        # grams (hashed=False) so DuckDB replays the join exactly; the
+        # production path hashes grams to xxhash64 (same candidates).
+        from dsm2dtm_spark.operators.decontam import ngram_contamination
+
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        ev = d.filter(F.col("doc_id") % 7 == 0)
+        train = d.filter(F.col("doc_id") % 7 != 0)
+        return ngram_contamination(train, ev, n=13, hashed=False)
+
+    q["docs_decontam"] = docs_decontam
+
+    def docs_global_shuffle(spark, sf):
+        # deterministic training-order permutation: distributed bucket-wise
+        # ranking (256-way parallel sort + tiny offset cumsum), identical to
+        # the oracle's single global ROW_NUMBER by construction
+        from dsm2dtm_spark.operators.sampling import global_shuffle
+
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        return global_shuffle(d, "doc_id", seed=42).select("doc_id", "shuffle_rank")
+
+    q["docs_global_shuffle"] = docs_global_shuffle
+
+    def docs_mixture_sample(spark, sf):
+        # per-source temperature-style mixture draw with fixed rates: pure
+        # string-threshold Bernoulli on the md5 permutation key — zero
+        # joins, reproducible at any cluster size
+        from dsm2dtm_spark.operators.sampling import mixture_sample
+
+        d = _t(spark, sf, "documents")
+        rates = {"en": 0.5, "de": 0.75, "es": 0.25, "fr": 1.0, "zh": 0.1}
+        return mixture_sample(d, rates, source_col="lang", seed=7).select("doc_id", "lang")
+
+    q["docs_mixture_sample"] = docs_mixture_sample
+
     def docs_simhash(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import simhash64
 
@@ -1324,6 +1388,100 @@ def oracle_sql() -> dict[str, str]:
                ROUND(len(list_intersect(a.grams, b.grams))
                      / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """
+
+    o["docs_incremental_dedup"] = """
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        fresh AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id < 20
+        ),
+        univ AS (SELECT * FROM corpus UNION ALL SELECT * FROM fresh),
+        sh AS (
+            SELECT d.doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(length(d.text) - 2, 1)),
+                i -> substr(lower(d.text), CAST(i AS INTEGER), 3)))) AS gram
+            FROM univ d
+        ),
+        comps AS (
+            SELECT sh.doc_id, t.i, MIN(md5(CAST(t.i AS VARCHAR) || ':' || sh.gram)) AS comp
+            FROM sh CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(16)) t
+            GROUP BY sh.doc_id, t.i
+        ),
+        bands AS (
+            SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                   md5(string_agg(comp, '|' ORDER BY i)) AS bucket
+            FROM comps GROUP BY doc_id, i // 4
+        ),
+        exact AS (
+            SELECT f.doc_id FROM fresh f
+            WHERE md5(f.text) IN (SELECT md5(text) FROM corpus)
+        ),
+        remaining AS (
+            SELECT doc_id FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+        ),
+        cand AS (
+            SELECT DISTINCT fb.doc_id, cb.doc_id AS cid
+            FROM bands fb
+            JOIN remaining USING (doc_id)
+            JOIN bands cb ON cb.band = fb.band AND cb.bucket = fb.bucket
+            JOIN corpus ci ON ci.doc_id = cb.doc_id
+        ),
+        near AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT c.doc_id, c.cid,
+                       AVG(CASE WHEN fc.comp = cc.comp THEN 1.0 ELSE 0.0 END) AS est
+                FROM cand c
+                JOIN comps fc ON fc.doc_id = c.doc_id
+                JOIN comps cc ON cc.doc_id = c.cid AND cc.i = fc.i
+                GROUP BY c.doc_id, c.cid
+            ) WHERE est >= 0.75
+        )
+        SELECT doc_id, 'exact' AS verdict FROM exact
+        UNION ALL
+        SELECT doc_id, 'near' AS verdict FROM near
+        UNION ALL
+        SELECT doc_id, 'keep' AS verdict FROM remaining
+        WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    """
+
+    o["docs_decontam"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(tk) - 12),
+                i -> array_to_string(list_slice(tk, i, i + 12), ' ')))) AS g
+            FROM toks WHERE len(tk) >= 13
+        ),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+        SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_matched
+        FROM grams t JOIN ev USING (g)
+        WHERE t.doc_id % 7 != 0
+        GROUP BY t.doc_id
+    """
+
+    o["docs_global_shuffle"] = """
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_rank
+        FROM documents
+    """
+
+    # thresholds = rate_threshold_hex(rate): rate * 16^13 as 13 hex digits
+    o["docs_mixture_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE CASE lang
+            WHEN 'de' THEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13) < 'c000000000000'
+            WHEN 'en' THEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13) < '8000000000000'
+            WHEN 'es' THEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13) < '4000000000000'
+            WHEN 'fr' THEN TRUE
+            WHEN 'zh' THEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13) < '1999999999999'
+            ELSE FALSE END
     """
 
     o["docs_dup_clusters"] = """

@@ -1,0 +1,270 @@
+"""Incremental cross-snapshot dedup: dedup each NEW batch of documents
+against the already-committed corpus WITHOUT re-processing the corpus.
+
+The production shape a training-data pipeline actually needs (a fresh crawl
+snapshot lands every day; the committed corpus is 100 TB): re-shingling the
+corpus per batch would make every ingest O(corpus), so instead the corpus's
+MinHash SIGNATURES and LSH BAND BUCKETS are persisted once, as snapshot
+tables (sources.manifest), and each fresh batch joins against them:
+
+1. exact pass — fresh fingerprints (md5 of text) anti-join the stored
+   fingerprint column: byte-identical re-crawls drop without any shingling;
+2. near pass — only the surviving fresh rows are shingled/signed (O(batch),
+   never O(corpus)); their band buckets equi-join the stored band table
+   (narrow (band, bucket, id) rows — the classic LSH candidate join, never
+   all-pairs); candidates verify by MinHash-estimated Jaccard, which needs
+   only the two STORED signature arrays — the corpus text is never touched;
+3. commit — survivors' signatures/bands append to the store, so the next
+   batch dedups against corpus + this batch (associative by construction).
+
+Signatures come in two flavors:
+- ``method='xxhash64'`` (default): the fast JVM path of
+  ``dedup.minhash_signatures`` — production.
+- ``method='md5'``: string MinHash (component i = MIN over shingles of
+  md5('i:' || shingle)) — ~2× the hash cost, but every step is exactly
+  replayable in ANSI SQL/DuckDB (md5 + min-over-varchar + string_agg), so
+  the whole incremental pipeline is oracle-checkable, not rows-only.
+
+Reference anchor: the resume anti-join of plans/dtm_job.py:141 applied to
+the dedup domain; no reference-repo equivalent (engine extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dsm2dtm_spark.operators.dedup import minhash_signatures, shingle_expr
+from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+
+def minhash_signatures_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """SQL-replayable string MinHash: component i = MIN over the document's
+    distinct character ``shingle_n``-grams of md5('i:' || gram). min() over
+    VARCHAR is the same lexicographic order in Spark and DuckDB, so an
+    oracle replays signatures exactly. Returns (id, signature:array<string>).
+    """
+    hs = df.select(id_col, F.explode(shingle_expr(text_col, shingle_n)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = hs.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(n_hashes)]).alias("signature"))
+
+
+def sign_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """(id, fingerprint, signature) for a document batch — the rows a
+    SignatureStore persists. ``fingerprint`` = md5(text) (the exact-dup key,
+    SQL-replayable in both flavors); ``signature`` is the MinHash array in
+    the chosen ``method`` (see module docstring)."""
+    if method == "xxhash64":
+        sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    elif method == "md5":
+        sig = minhash_signatures_md5(df, text_col, id_col, n_hashes, shingle_n)
+    else:
+        raise ValueError(f"method must be 'xxhash64' or 'md5', got {method!r}")
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+    return fp.join(sig, on=id_col)
+
+
+def band_buckets(signatures: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Explode (id, signature) → narrow (id, band, bucket) LSH band rows.
+    bucket = md5 of the band's '|'-joined components — one string expression
+    that covers both signature flavors (bigint arrays stringify first) and
+    replays in DuckDB as md5(string_agg(comp, '|' ORDER BY i))."""
+    rows_per_band = (F.size("signature") / bands).cast("int")
+    return (
+        signatures.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            F.col("signature"),
+            rows_per_band.alias("_rpb"),
+        )
+        .select(
+            id_col,
+            "band",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice("signature", F.col("band") * F.col("_rpb") + 1, F.col("_rpb")),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("bucket"),
+        )
+    )
+
+
+class SignatureStore:
+    """Persisted dedup state: two snapshot tables under one root —
+    ``signatures`` (doc_id, fingerprint, signature) and ``bands``
+    (doc_id, band, bucket). Appends are atomic snapshot commits, so a
+    crashed ingest never leaves half-registered documents; both tables are
+    plain parquet scans on read (Catalyst pushdown intact). At warehouse
+    scale, compact periodically (``SnapshotTable.compact(sort_by=
+    ['bucket'])``) so the band table's footer min/max make the candidate
+    join's scan prunable."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.signatures = SnapshotTable(f"{root}/signatures")
+        self.bands = SnapshotTable(f"{root}/bands")
+
+    def is_empty(self) -> bool:
+        return self.signatures.current_snapshot() is None
+
+    def append(self, signatures_df: DataFrame, bands: int = 4, summary: dict | None = None) -> None:
+        """Register a batch: commit its signature rows and derived band rows
+        (derived here, not re-signed — slicing stored arrays is free)."""
+        self.signatures.write_dataframe(signatures_df, summary=summary)
+        self.bands.write_dataframe(band_buckets(signatures_df, bands=bands), summary=summary)
+
+    def read_signatures(self, spark) -> DataFrame:
+        return self.signatures.read(spark)
+
+    def read_bands(self, spark) -> DataFrame:
+        return self.bands.read(spark)
+
+
+def dedup_against(
+    fresh: DataFrame,
+    stored_signatures: DataFrame,
+    stored_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    method: str = "xxhash64",
+    bucket_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a fresh batch against the committed corpus state. Returns
+    ``(decisions, fresh_signatures)``:
+
+    - ``decisions``: one row per fresh document — (id, verdict) with verdict
+      'exact' (fingerprint already committed), 'near' (MinHash-estimated
+      Jaccard vs some stored signature ≥ ``threshold``), or 'keep'.
+    - ``fresh_signatures``: (id, fingerprint, signature) for the KEPT rows —
+      exactly what ``SignatureStore.append`` commits so the next batch
+      dedups against them too.
+
+    Scale shape: the stored side contributes two narrow scans (fingerprints;
+    (band, bucket) rows) and one signature equi-join on candidate ids — the
+    corpus TEXT is never read and never re-shingled; only the fresh batch is
+    signed. The candidate step is the banded equi-join of dedup.py:74 with
+    the fresh side on the left, so cost is O(batch + collisions), never
+    O(corpus). ``bucket_cap`` drops stored buckets larger than the cap from
+    candidate generation (broadcast anti-join) — the boilerplate-flood guard,
+    same degraded-recall trade as minhash_lsh_candidates."""
+    fresh_fp = fresh.select(F.col(id_col), F.col(text_col)).withColumn(
+        "fingerprint", F.md5(F.col(text_col))
+    )
+    stored_fps = stored_signatures.select("fingerprint").distinct()
+    exact = (
+        fresh_fp.join(stored_fps, on="fingerprint", how="left_semi")
+        .select(F.col(id_col), F.lit("exact").alias("verdict"))
+    )
+    remaining = fresh_fp.join(stored_fps, on="fingerprint", how="left_anti")
+
+    fresh_sigs = sign_documents(
+        remaining, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n, method=method
+    )
+    fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands)
+    corpus_bands = stored_bands.select(
+        F.col(id_col).alias("_cid"), F.col("band"), F.col("bucket")
+    )
+    if bucket_cap is not None:
+        hot = (
+            corpus_bands.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+            .select("band", "bucket")
+        )
+        corpus_bands = corpus_bands.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+    cand = (
+        fresh_bands.join(corpus_bands, on=["band", "bucket"])
+        .select(F.col(id_col), F.col("_cid"))
+        .distinct()
+    )
+    # verify on STORED signatures only: estimated Jaccard = fraction of
+    # agreeing components (classic MinHash estimator; no text touched)
+    csig = stored_signatures.select(F.col(id_col).alias("_cid"), F.col("signature").alias("_csig"))
+    fsig = fresh_sigs.select(F.col(id_col), F.col("signature").alias("_fsig"))
+    est_j = (
+        F.aggregate(
+            F.zip_with("_fsig", "_csig", lambda a, b: F.when(a == b, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("_fsig")
+    )
+    near = (
+        cand.join(fsig, on=id_col)
+        .join(csig, on="_cid")
+        .withColumn("_est", est_j)
+        .filter(F.col("_est") >= threshold)
+        .select(F.col(id_col), F.lit("near").alias("verdict"))
+        .distinct()
+    )
+    kept = (
+        remaining.select(id_col)
+        .join(near.select(id_col), on=id_col, how="left_anti")
+        .select(F.col(id_col), F.lit("keep").alias("verdict"))
+    )
+    decisions = exact.unionByName(near).unionByName(kept)
+    keep_sigs = fresh_sigs.join(near.select(id_col), on=id_col, how="left_anti")
+    return decisions, keep_sigs
+
+
+def incremental_dedup(
+    store: SignatureStore,
+    fresh: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    method: str = "xxhash64",
+    bucket_cap: int | None = None,
+    commit: bool = True,
+) -> DataFrame:
+    """End-to-end store-backed step: dedup ``fresh`` against the store,
+    commit the kept rows' signatures (one atomic snapshot per table), return
+    the decisions DataFrame. An empty store registers the whole batch as
+    'keep' (bootstrap). NOTE: decisions are materialized before the commit
+    (the commit itself re-executes the plan for the kept signatures)."""
+    spark = fresh.sparkSession
+    if store.is_empty():
+        sigs = sign_documents(fresh, text_col, id_col, n_hashes, shingle_n, method)
+        if commit:
+            store.append(sigs, bands=bands, summary={"op": "bootstrap"})
+        return fresh.select(F.col(id_col), F.lit("keep").alias("verdict"))
+    decisions, keep_sigs = dedup_against(
+        fresh,
+        store.read_signatures(spark),
+        store.read_bands(spark),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        method=method,
+        bucket_cap=bucket_cap,
+    )
+    decisions = decisions.localCheckpoint(eager=True)  # pin before the store mutates
+    if commit:
+        store.append(keep_sigs, bands=bands, summary={"op": "incremental"})
+    return decisions

@@ -55,3 +55,115 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= n_per_stratum)
         .drop("_skey")
     )
+
+
+def _permutation_key(id_col: str, seed: int):
+    """The engine's portable pseudo-random permutation key: md5 of
+    'seed:id'. Any SQL engine replays it exactly; same seed ⇒ same total
+    order regardless of partitioning or cluster size."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_buckets: int = 256,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global training-order permutation: every row gets a
+    1-based ``shuffle_rank`` equal to its position in the md5(seed:id)
+    order (ties broken by id — a total order, so the permutation is a pure
+    function of data + seed; rerun, repartition, or resize the cluster and
+    the order is identical).
+
+    Scale shape: a naive global ROW_NUMBER is one executor sorting the
+    whole corpus. Instead the hash key's first byte splits rows into
+    ``n_buckets`` ranges that the key order already respects (hex prefix =
+    most significant digits), each bucket ranks locally in parallel, and a
+    tiny ``n_buckets``-row exclusive-cumsum of bucket counts (computed
+    in-plan, broadcast back) turns local ranks into global ones. Two narrow
+    shuffles of (key, id), never a single-task sort."""
+    keyed = df.withColumn("_skey", _permutation_key(id_col, seed)).withColumn(
+        "_bucket", F.substring("_skey", 1, 2)
+    )
+    counts = keyed.groupBy("_bucket").count()
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_offset")
+    )  # the window runs over ≤ n_buckets rows — trivially single-task
+    w_local = Window.partitionBy("_bucket").orderBy("_skey", F.col(id_col))
+    return (
+        keyed.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), on="_bucket")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_lrn")).cast("long"))
+        .drop("_skey", "_bucket", "_lrn", "_offset")
+    )
+
+
+def rate_threshold_hex(rate: float, digits: int = 13) -> str | None:
+    """Per-row keep rate → md5-hex-prefix threshold: a row survives iff the
+    first ``digits`` hex chars of its permutation key are lexicographically
+    below this string. Pure string comparison — no float arithmetic in the
+    plan, so Spark and any SQL oracle agree exactly. None ⇒ keep all."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return None
+    return format(int(rate * (16**digits)), f"0{digits}x")
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source deterministic Bernoulli mixture draw: each row survives
+    with its source's rate, decided by the row's md5(seed:id) key — the
+    reproducible version of weighted corpus mixing ("keep 30% of web, all
+    of books"). Same seed ⇒ same sample at any partitioning/cluster size,
+    and a RERUN over a grown corpus keeps exactly the previously-kept rows
+    of unchanged ids (stable curation). Sources absent from ``rates`` get
+    ``default_rate``. The per-source thresholds are literals in the plan
+    (rates are a KB-scale dict), so the filter is one CASE over a string
+    comparison — pushdown-friendly, zero joins."""
+    key13 = F.substring(_permutation_key(id_col, seed), 1, 13)
+    expr = None
+    src = F.col(source_col)
+    for name, rate in sorted(rates.items()):
+        th = rate_threshold_hex(rate)
+        cond = F.lit(True) if th is None else key13 < F.lit(th)
+        expr = F.when(src == name, cond) if expr is None else expr.when(src == name, cond)
+    dth = rate_threshold_hex(default_rate)
+    default_cond = F.lit(True) if dth is None else key13 < F.lit(dth)
+    keep = default_cond if expr is None else expr.otherwise(default_cond)
+    return df.filter(keep)
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    temperature: float = 0.7,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Temperature-weighted mixture rates from observed source counts:
+    p_s ∝ n_s^temperature (T=1 → natural proportions; T→0 → uniform over
+    sources — the standard multilingual/multi-source rebalance), scaled so
+    the expected sample size is ``target_rows`` (default: the size of the
+    smallest source times the number of sources — full uniform coverage
+    without upsampling). Rates cap at 1.0 (no oversampling). The per-source
+    count collect is the one driver action — KB-scale, the same justified
+    pattern as simsearch.train_centroids."""
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    if not counts:
+        return {}
+    weights = {s: n**temperature for s, n in counts.items()}
+    total_w = sum(weights.values())
+    if target_rows is None:
+        target_rows = min(counts.values()) * len(counts)
+    return {
+        s: min(1.0, target_rows * (weights[s] / total_w) / counts[s]) for s in counts
+    }

@@ -34,6 +34,10 @@ SUBSET = [
     "img_knn_anchors",
     "img_slope_shade_stats",
     "docs_pack_sequences",
+    "docs_incremental_dedup",
+    "docs_decontam",
+    "docs_global_shuffle",
+    "docs_mixture_sample",
 ]
 
 

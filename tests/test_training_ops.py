@@ -506,3 +506,64 @@ class TestCosineDedup:
         for df in (S.cosine_dedup(sdf, 0.9), S.cosine_pairs(sdf, 0.9)):
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDecontamination:
+    BOILER = "the quick brown fox jumps over the lazy dog near the river bank today"  # 14 tokens
+
+    def _docs(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    @pytest.mark.parametrize("hashed", [False, True])
+    def test_flags_verbatim_leak_and_counts_distinct_grams(self, spark, hashed):
+        from dsm2dtm_spark.operators.decontam import decontaminate, ngram_contamination
+
+        ev = self._docs(spark, [(0, f"prefix words here {self.BOILER} and trailing context")])
+        docs = self._docs(
+            spark,
+            [
+                (1, f"training text that embeds {self.BOILER} in the middle of it"),
+                (2, "completely unrelated content about sparse matrices and join plans"),
+                (3, self.BOILER),  # exactly the 14-token boilerplate → 2 distinct 13-grams
+            ],
+        )
+        hits = {r.doc_id: r.n_matched for r in ngram_contamination(docs, ev, n=13, hashed=hashed).collect()}
+        assert set(hits) == {1, 3}
+        assert hits[3] == 2  # 14 tokens → two 13-grams, both in the eval text
+        kept = decontaminate(docs, ev, n=13, hashed=hashed)
+        assert sorted(r.doc_id for r in kept.collect()) == [2]
+
+    def test_short_docs_have_no_partial_grams(self, spark):
+        from dsm2dtm_spark.operators.decontam import ngram_contamination
+
+        ev = self._docs(spark, [(0, self.BOILER)])
+        docs = self._docs(spark, [(1, "quick brown fox")])  # < 13 tokens
+        assert ngram_contamination(docs, ev, n=13, hashed=False).count() == 0
+
+    def test_boilerplate_flood_stays_linear(self, spark):
+        """An eval set where ONE boilerplate string appears in many eval docs,
+        matched by thousands of training docs: the eval side collapses to
+        distinct grams, so output rows = matching docs (never docs × eval
+        occurrences) and every count is exact."""
+        from dsm2dtm_spark.operators.decontam import ngram_contamination
+
+        ev = self._docs(spark, [(i, f"eval question {i} includes {self.BOILER}") for i in range(200)])
+        docs = self._docs(
+            spark,
+            [(i, f"doc {i} says {self.BOILER} verbatim") for i in range(3000)]
+            + [(90000 + i, f"clean document number {i} with its own words entirely") for i in range(50)],
+        )
+        out = ngram_contamination(docs, ev, n=13, hashed=True)
+        rows = out.collect()
+        assert len(rows) == 3000
+        assert {r.n_matched for r in rows} == {2}  # the two boilerplate 13-grams
+
+    def test_eval_side_is_broadcast(self, spark):
+        from dsm2dtm_spark.operators.decontam import ngram_contamination
+
+        ev = self._docs(spark, [(0, self.BOILER)])
+        docs = self._docs(spark, [(1, self.BOILER)])
+        plan = ngram_contamination(docs, ev)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
