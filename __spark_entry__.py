@@ -838,7 +838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_contract_tables()
         e = _t(spark, sf, "embeddings")
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
-        return ivf_topk(e, queries_df, k=5)
+        # explicit (n_centroids, nprobe): the oracle replays THESE lists from
+        # ann_centroids.parquet; auto-derivation (nprobe=None) is covered by
+        # tests/test_scale_features.py + BENCH/ann_recall.json
+        return ivf_topk(e, queries_df, k=5, n_centroids=16, nprobe=4)
 
     q["emb_ivf_topk"] = emb_ivf_topk
 
@@ -850,7 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_contract_tables()
         e = _t(spark, sf, "embeddings")
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
-        return lsh_topk(e, queries_df, k=5)
+        # explicit (n_planes, n_tables): the oracle replays THESE tables from
+        # ann_planes.parquet; auto-derivation is covered separately (above)
+        return lsh_topk(e, queries_df, k=5, n_planes=6, n_tables=8)
 
     q["emb_lsh_topk"] = emb_lsh_topk
 

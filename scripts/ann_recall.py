@@ -51,6 +51,15 @@ def measure(spark, emb, tag: str) -> dict:
     lsh, t_lsh = timed(lambda: S.lsh_topk(emb, queries, k=K, n_planes=8, n_tables=16))
     ivf, t_ivf = timed(lambda: S.ivf_topk(emb, queries, k=K, n_centroids=16, nprobe=4))
 
+    # recall-targeted auto derivation (the safe defaults): record the chosen
+    # parameters alongside recall/cost — on uniform corpora the derivation
+    # honestly spends more tables/probes, and that cost must be visible
+    est = S.estimate_kth_neighbor_cosine(emb, k=K)
+    auto_b, auto_t = S.derive_srp_topk_params(est)
+    auto_np = S.derive_ivf_nprobe(emb, k=K, n_centroids=16)
+    lsh_a, t_lsh_a = timed(lambda: S.lsh_topk(emb, queries, k=K, n_planes=auto_b, n_tables=auto_t))
+    ivf_a, t_ivf_a = timed(lambda: S.ivf_topk(emb, queries, k=K, n_centroids=16, nprobe=auto_np))
+
     e = pairs(exact)
     emb.unpersist()
     queries.unpersist()
@@ -62,6 +71,18 @@ def measure(spark, emb, tag: str) -> dict:
         "exact_sec": t_exact,
         "lsh_p8_t16": {"sec": t_lsh, "recall": round(len(e & pairs(lsh)) / len(e), 3)},
         "ivf_c16_p4": {"sec": t_ivf, "recall": round(len(e & pairs(ivf)) / len(e), 3)},
+        "est_kth_cosine": round(est, 4),
+        "lsh_auto": {
+            "n_planes": auto_b,
+            "n_tables": auto_t,
+            "sec": t_lsh_a,
+            "recall": round(len(e & pairs(lsh_a)) / len(e), 3),
+        },
+        "ivf_auto": {
+            "nprobe": auto_np,
+            "sec": t_ivf_a,
+            "recall": round(len(e & pairs(ivf_a)) / len(e), 3),
+        },
     }
 
 
@@ -79,7 +100,11 @@ def main():
     result = {
         "uniform_testdata": measure(spark, uniform, "uniform"),
         "clustered_fixture": measure(spark, clustered, "clustered"),
-        "gate": "recall >= 0.9 at k=10 on the clustered fixture",
+        "gate": (
+            "fixed-parameter paths: recall >= 0.9 at k=10 on the clustered "
+            "fixture; AUTO paths (recall-targeted derivation): >= 0.9 on BOTH "
+            "corpora, extra cost recorded"
+        ),
     }
     print(json.dumps(result))
     with open(os.path.join(ROOT, "BENCH", "ann_recall.json"), "w") as f:
