@@ -173,6 +173,7 @@ def connected_components(
     src_col: str = "left_id",
     dst_col: str = "right_id",
     max_iters: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Distributed connected components by min-label propagation with pointer
     shortcutting: each round every vertex takes the minimum of its own label
@@ -185,12 +186,18 @@ def connected_components(
     Scale shape: each round is two equi-joins + one groupBy min on (edge,
     label) relations — no vertex ever sees more than its neighborhood, and
     ``localCheckpoint`` truncates the growing lineage exactly like the kNN
-    ring loop. One small driver action per round checks convergence."""
+    ring loop. At 100× scale every driver action is a full-job barrier, so
+    the loop spends at most ONE action per ``check_every`` rounds: the
+    convergence count and the (lazy) checkpoint materialization run in the
+    same job, and in-between rounds run with no action at all — an extra
+    round after convergence is idempotent, never wrong."""
+    if check_every < 1:
+        raise ValueError(f"check_every must be ≥ 1, got {check_every}")
     sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = (
             sym.join(labels, sym.src == labels.vid)
             .groupBy("dst")
@@ -201,18 +208,23 @@ def connected_components(
         )
         # path halving: label := label(label)
         parent = stepped.select(F.col("vid").alias("pvid"), F.col("label").alias("plabel"))
+        # LAZY checkpoint: the convergence count below is the job that
+        # materializes it — one barrier for both, vs eager+take(1)'s two
         new = stepped.join(parent, stepped.label == parent.pvid, "left").select(
             "vid", F.coalesce("plabel", "label").alias("label")
-        ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .take(1)
-        )
-        labels = new
-        if not changed:
-            break
+        ).localCheckpoint(eager=False)
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            n_changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "vid")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new
+            if n_changed == 0:
+                break
+        else:
+            labels = new
     else:
         # returning partial labels would hand callers WRONG cluster ids with
         # no signal; with path halving max_iters=25 covers diameter ~2^25,

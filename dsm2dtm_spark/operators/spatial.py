@@ -193,8 +193,9 @@ def knn_join(
     remaining = queries.select("query_id", "x", "y")
     settled_parts: list[DataFrame] = []
     radius = min(initial_radius, max_radius)
+    n_remaining = None  # unknown before the first round's folded count
     for _ in range(max_rounds):
-        if not remaining.take(1):
+        if n_remaining == 0:
             break
         cand = (
             remaining.withColumn("qcell", F.explode(ring_udf(radius)("x", "y")))
@@ -214,8 +215,11 @@ def knn_join(
             cand.join(certified, on="query_id", how="inner").select("query_id", "point_id", "dist", "rank")
         )
         # truncate lineage: without this every round re-executes all prior
-        # rounds' joins through the growing anti-join chain
-        remaining = remaining.join(certified, on="query_id", how="left_anti").localCheckpoint(eager=True)
+        # rounds' joins through the growing anti-join chain. LAZY checkpoint
+        # + count folds the materialization and next round's emptiness check
+        # into ONE driver action (each action is a full-job barrier at scale)
+        remaining = remaining.join(certified, on="query_id", how="left_anti").localCheckpoint(eager=False)
+        n_remaining = remaining.count()
         if radius >= max_radius:  # ring ≈ whole grid: the crossJoin IS the join
             break
         radius = min(radius * 4, max_radius)

@@ -123,3 +123,31 @@ def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None, 
         .repartition(parallelism, F.col("path"))
         .mapInPandas(load, GEOTIFF_ROW_SCHEMA)
     )
+
+
+def read_geotiff_objects(spark, items, parallelism: int | None = None, reader: str = "auto"):
+    """Path-or-open-object ingest — the engine twin of the reference's
+    ``_load_dsm(Union[str, DatasetReader])`` surface (core.py:126-136,
+    test_core.py:189-198). Items may be paths, raw TIFF bytes, open binary
+    handles, or ``(image_id, array, profile)`` tuples. Paths go through the
+    ``reader`` dispatch (rasterio when available, builtin otherwise); the
+    in-memory objects always use the builtin codec (an open handle's bytes
+    are driver-resident by definition — see tiffio.read_geotiff_objects for
+    the serialization story)."""
+    import os
+
+    from dsm2dtm_spark.sources import tiffio
+
+    paths = [os.fspath(i) for i in items if isinstance(i, (str, os.PathLike))]
+    objects = [i for i in items if not isinstance(i, (str, os.PathLike))]
+    parts = []
+    if paths:
+        parts.append(read_geotiff_table(spark, paths, parallelism, reader=reader))
+    if objects:
+        parts.append(tiffio.read_geotiff_objects(spark, objects, parallelism))
+    if not parts:
+        raise ValueError("read_geotiff_objects: no items")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

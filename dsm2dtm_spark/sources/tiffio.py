@@ -10,9 +10,10 @@ sources.geotiff.read_geotiff_table with the same output schema, so the DTM
 plans run on real .tif files without any optional dependency.
 
 Supported on read: II/MM byte order, classic TIFF (magic 42), one sample per
-pixel, Compression=1 (none) or 8/32946 (Deflate — zlib is stdlib, not
-entropy-coding-from-scratch), Predictor=2 (horizontal differencing, integer
-samples), SampleFormat uint 8/16/32 and IEEE float32, multi-strip,
+pixel, Compression=1 (none), 5 (LZW — TIFF-variant dictionary coding with
+early change, from scratch in stdlib) or 8/32946 (Deflate — zlib is stdlib,
+not entropy-coding-from-scratch), Predictor=2 (horizontal differencing,
+integer samples), SampleFormat uint 8/16/32 and IEEE float32, multi-strip,
 single-strip and TILED layouts (the COG / `-co TILED=YES` block grid, edge
 padding cropped; a COG's overview IFDs are simply ignored — the first IFD
 is the full-resolution band), GeoTIFF keys (model type + EPSG),
@@ -207,6 +208,57 @@ def write_geotiff(
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, cap: int) -> bytes:
+    """TIFF-variant LZW (Compression=5) strip/tile decoder — the most common
+    legacy GeoTIFF codec in the wild. Dictionary coding in pure stdlib, the
+    same honest boundary as the Deflate path (no entropy coding). Implements
+    the TIFF 6.0 conventions exactly: MSB-first bit packing, ClearCode=256,
+    EOI=257, 9→12-bit codes with EARLY CHANGE (the width bumps when the next
+    table slot is (1<<width)−1 — one code earlier than plain LZW; libtiff and
+    GDAL both write this). Output is capped at ``cap`` bytes (the caller's
+    expected strip size), so a crafted stream cannot balloon an executor —
+    the same bomb guard as the Deflate path. Malformed streams raise
+    ValueError (the typed error the permissive quarantine expects)."""
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width, next_code = 9, 258
+    bitpos, nbits = 0, len(data) * 8
+    old: bytes | None = None
+    try:
+        while bitpos + width <= nbits and len(out) < cap:
+            b0 = bitpos >> 3
+            window = int.from_bytes(data[b0 : b0 + 3].ljust(3, b"\x00"), "big")
+            code = (window >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+            bitpos += width
+            if code == 256:  # ClearCode
+                table = list(base)
+                width, next_code = 9, 258
+                old = None
+                continue
+            if code == 257:  # EOI
+                break
+            if old is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(old + entry[:1])
+                next_code += 1
+            elif code == next_code:  # the KwKwK special case
+                entry = old + old[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError(f"LZW code {code} beyond table size {next_code}")
+            out += entry
+            old = entry
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+    except IndexError as exc:
+        raise ValueError(f"corrupt LZW stream: {exc}") from exc
+    return bytes(out[:cap])
+
+
 def _check_claimed_alloc(claimed_bytes: int, file_bytes: int) -> None:
     """Bound the pixel-buffer allocation implied by header tags against the
     actual file size BEFORE allocating: a crafted few-hundred-byte file
@@ -329,10 +381,10 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     if not w or not h:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     comp = int(one(_COMPRESSION, 1))
-    if comp not in (1, 8, 32946):  # 8 = Deflate (Adobe), 32946 = legacy code
+    if comp not in (1, 5, 8, 32946):  # 5 = LZW, 8 = Deflate (Adobe), 32946 = legacy
         raise ValueError(
-            f"TIFF compression {comp} is not supported (supported: none, Deflate; "
-            "LZW/JPEG entropy coding needs a library)"
+            f"TIFF compression {comp} is not supported (supported: none, LZW, "
+            "Deflate; JPEG entropy coding needs a library)"
         )
     predictor = int(one(_PREDICTOR, 1))
     spp = int(one(_SAMPLES_PER_PIXEL, 1))
@@ -372,6 +424,8 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
                 return zlib.decompressobj().decompress(chunk, max(cap, 0))
             except zlib.error as exc:
                 raise ValueError(f"TIFF Deflate strip/tile is corrupt: {exc}") from exc
+        if comp == 5:
+            return _lzw_decode(chunk, max(cap, 0))
         return chunk
 
     def undo_predictor(arr: np.ndarray) -> np.ndarray:
@@ -501,6 +555,37 @@ GEOTIFF_ROW_SCHEMA = (
 )
 
 
+def _row_from_tif_bytes(image_id: str, data: bytes) -> dict:
+    """Decode one TIFF payload into the canonical image-table row (band-1
+    float32, nodata normalized to the −99999 sentinel, hard-fail on missing
+    CRS per reference core.py:60-61) — shared by the path, bytes, and
+    open-handle ingest surfaces."""
+    from dsm2dtm_spark import codecs
+
+    grid, meta = read_geotiff(data)
+    if meta["epsg"] is None:
+        raise ValueError(f"{image_id}: dataset has no CRS")
+    grid = grid.astype(np.float32)
+    nodata = meta["nodata"] if meta["nodata"] is not None else NODATA_DEFAULT
+    mask = np.isnan(grid) if np.isnan(nodata) else (grid == nodata) | np.isnan(grid)
+    grid = np.where(mask, np.float32(NODATA_DEFAULT), grid)
+    return {
+        "image_id": image_id,
+        "bytes": codecs.encode_raw_f32(grid),
+        "w": int(grid.shape[1]),
+        "h": int(grid.shape[0]),
+        "fmt": "raw_f32",
+        "caption": image_id,
+        "phash": codecs.ahash64(grid),
+        "lon0": float(meta["x0"] or 0.0),
+        "lat0": float(meta["y0"] or 0.0),
+        "xres_m": float(meta["xres"] or 1.0),
+        "yres_m": float(meta["yres"] or 1.0),
+        "crs": int(meta["epsg"]),
+        "is_geographic": bool(meta["is_geographic"]),
+    }
+
+
 def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None):
     """list of .tif paths → the engine's canonical image+caption DataFrame,
     using the built-in reader — the zero-dependency twin of
@@ -510,37 +595,12 @@ def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None):
     executors; the driver never touches pixel data."""
     from pyspark.sql import functions as F
 
-    from dsm2dtm_spark import codecs
-
     def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
                 with open(path, "rb") as f:
-                    grid, meta = read_geotiff(f.read())
-                if meta["epsg"] is None:
-                    raise ValueError(f"{path}: dataset has no CRS")
-                grid = grid.astype(np.float32)
-                nodata = meta["nodata"] if meta["nodata"] is not None else NODATA_DEFAULT
-                mask = np.isnan(grid) if np.isnan(nodata) else (grid == nodata) | np.isnan(grid)
-                grid = np.where(mask, np.float32(NODATA_DEFAULT), grid)
-                rows.append(
-                    {
-                        "image_id": path,
-                        "bytes": codecs.encode_raw_f32(grid),
-                        "w": int(grid.shape[1]),
-                        "h": int(grid.shape[0]),
-                        "fmt": "raw_f32",
-                        "caption": path,
-                        "phash": codecs.ahash64(grid),
-                        "lon0": float(meta["x0"] or 0.0),
-                        "lat0": float(meta["y0"] or 0.0),
-                        "xres_m": float(meta["xres"] or 1.0),
-                        "yres_m": float(meta["yres"] or 1.0),
-                        "crs": int(meta["epsg"]),
-                        "is_geographic": bool(meta["is_geographic"]),
-                    }
-                )
+                    rows.append(_row_from_tif_bytes(path, f.read()))
             yield pd.DataFrame(rows)
 
     if parallelism is None:
@@ -551,6 +611,100 @@ def read_geotiff_table(spark, paths: list[str], parallelism: int | None = None):
         .repartition(parallelism, F.col("path"))
         .mapInPandas(load, GEOTIFF_ROW_SCHEMA)
     )
+
+
+def read_raster_array(image_id: str, grid: np.ndarray, profile: dict) -> dict:
+    """One in-memory (array, profile) → a canonical image-table row: the
+    engine twin of handing the reference an already-open dataset it never
+    re-reads from disk. ``profile`` keys: x0, y0, xres, yres, epsg
+    (REQUIRED — missing CRS hard-fails exactly like the file paths),
+    is_geographic, nodata (both optional)."""
+    from dsm2dtm_spark import codecs
+
+    if profile.get("epsg") is None:
+        raise ValueError(f"{image_id}: dataset has no CRS")
+    grid = np.asarray(grid, dtype=np.float32)
+    nodata = profile.get("nodata", NODATA_DEFAULT)
+    mask = np.isnan(grid) if np.isnan(nodata) else (grid == nodata) | np.isnan(grid)
+    grid = np.where(mask, np.float32(NODATA_DEFAULT), grid)
+    epsg = int(profile["epsg"])
+    return {
+        "image_id": image_id,
+        "bytes": codecs.encode_raw_f32(grid),
+        "w": int(grid.shape[1]),
+        "h": int(grid.shape[0]),
+        "fmt": "raw_f32",
+        "caption": image_id,
+        "phash": codecs.ahash64(grid),
+        "lon0": float(profile.get("x0", 0.0)),
+        "lat0": float(profile.get("y0", 0.0)),
+        "xres_m": float(profile.get("xres", 1.0)),
+        "yres_m": float(profile.get("yres", 1.0)),
+        "crs": epsg,
+        "is_geographic": bool(profile.get("is_geographic", 4000 <= epsg <= 4999)),
+    }
+
+
+def read_geotiff_objects(spark, items, parallelism: int | None = None):
+    """Path-or-open-object ingest parity with the reference (core.py:126-136
+    `_load_dsm(Union[str, DatasetReader])`, test_core.py:189-198): each item
+    may be a filesystem path, raw TIFF ``bytes``, an open binary handle, or
+    an ``(image_id, array, profile)`` tuple. Returns one canonical
+    image+caption DataFrame over all of them.
+
+    Distribution is honest about what serializes: PATHS stay executor-opened
+    (read_geotiff_table — the driver never touches their pixels); handles
+    and in-memory objects by definition live in the driver process, so their
+    BYTES are read driver-side, shipped as rows, and DECODED on executors
+    (the pixel work — dominant for compressed TIFFs — still parallelizes)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    paths: list[str] = []
+    byte_items: list[tuple[str, bytes]] = []
+    inline_rows: list[dict] = []
+    for i, item in enumerate(items):
+        if isinstance(item, (str, _os.PathLike)):
+            paths.append(_os.fspath(item))
+        elif isinstance(item, (bytes, bytearray)):
+            byte_items.append((f"mem_{i:06d}.tif", bytes(item)))
+        elif hasattr(item, "read"):
+            name = getattr(item, "name", None) or f"handle_{i:06d}.tif"
+            byte_items.append((str(name), item.read()))
+        elif isinstance(item, (tuple, list)) and len(item) == 3:
+            image_id, grid, profile = item
+            inline_rows.append(read_raster_array(str(image_id), grid, profile))
+        else:
+            raise TypeError(
+                f"item {i}: expected path, bytes, open binary handle, or "
+                f"(image_id, array, profile) — got {type(item).__name__}"
+            )
+
+    parts = []
+    if paths:
+        parts.append(read_geotiff_table(spark, paths, parallelism))
+    if byte_items:
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [_row_from_tif_bytes(r.image_id, r.data) for r in pdf.itertuples(index=False)]
+                )
+
+        n = parallelism or min(len(byte_items), spark.sparkContext.defaultParallelism) or 1
+        bdf = spark.createDataFrame(
+            pd.DataFrame(byte_items, columns=["image_id", "data"]),
+            "image_id string, data binary",
+        )
+        parts.append(bdf.repartition(n, F.col("image_id")).mapInPandas(decode, GEOTIFF_ROW_SCHEMA))
+    if inline_rows:
+        parts.append(spark.createDataFrame(pd.DataFrame(inline_rows), GEOTIFF_ROW_SCHEMA))
+    if not parts:
+        raise ValueError("read_geotiff_objects: no items")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def write_geotiff_files(

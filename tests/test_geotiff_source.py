@@ -158,8 +158,9 @@ class TestTiffCodec:
         with pytest.raises(ValueError, match="byte-order"):
             tiffio.read_geotiff(b"PK\x03\x04 definitely not a tiff")
         data = bytearray(tiffio.write_geotiff(_grid(), 0, 0, 1.0, 1.0))
-        # flip the Compression tag value to 5 (LZW): entry order is fixed,
-        # so find it by scanning the IFD
+        # flip the Compression tag value to 7 (JPEG — entropy coding, out of
+        # the module's honest boundary): entry order is fixed, so find it by
+        # scanning the IFD. (5/LZW graduated to a supported codec in r4.)
         import struct
 
         n = struct.unpack("<H", data[8:10])[0]
@@ -167,8 +168,8 @@ class TestTiffCodec:
             off = 10 + 12 * i
             tag = struct.unpack("<H", data[off : off + 2])[0]
             if tag == 259:
-                data[off + 8 : off + 10] = struct.pack("<H", 5)
-        with pytest.raises(ValueError, match="compression 5"):
+                data[off + 8 : off + 10] = struct.pack("<H", 7)
+        with pytest.raises(ValueError, match="compression 7"):
             tiffio.read_geotiff(bytes(data))
 
     def test_deflate_roundtrip_and_size(self):
@@ -703,3 +704,212 @@ class TestForgedHeaderBound:
         n = struct.unpack("<H", data[8:10])[0]
         grid, _ = tiffio.read_geotiff(bytes(data))
         assert grid.shape == (512, 512)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (test-side reference, the stream GDAL /
+    libtiff would produce): MSB-first packing, ClearCode up front and on
+    table-full, EOI, EARLY CHANGE (width bumps when the next free slot is
+    (1<<width)-1)."""
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width, next_code = 9, 258
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+
+    def emit(code):
+        out_bits.append((code, width))
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the encoder's table runs ONE ENTRY AHEAD of the decoder's (the
+        # decoder adds each entry only on the NEXT code), so its width bump
+        # lands at 2^w while the decoder's "early change" lands at 2^w - 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = c
+        if next_code >= 4094:  # table full: clear and restart
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            width, next_code = 9, 258
+    if w:
+        emit(table[w])
+    emit(257)
+    # pack MSB-first
+    acc = n = 0
+    buf = bytearray()
+    for code, cw in out_bits:
+        acc = (acc << cw) | code
+        n += cw
+        while n >= 8:
+            n -= 8
+            buf.append((acc >> n) & 0xFF)
+    if n:
+        buf.append((acc << (8 - n)) & 0xFF)
+    return bytes(buf)
+
+
+class TestLZW:
+    def test_hand_built_stream_decodes(self):
+        # codes 256,7,258,8,257 at 9 bits ≡ the spec walkthrough for
+        # [7,7,7,8] (KwKwK case included): decode must reproduce it
+        from dsm2dtm_spark.sources.tiffio import _lzw_decode
+
+        codes = [(256, 9), (7, 9), (258, 9), (8, 9), (257, 9)]
+        acc = n = 0
+        buf = bytearray()
+        for code, cw in codes:
+            acc = (acc << cw) | code
+            n += cw
+            while n >= 8:
+                n -= 8
+                buf.append((acc >> n) & 0xFF)
+        if n:
+            buf.append((acc << (8 - n)) & 0xFF)
+        assert _lzw_decode(bytes(buf), 100) == bytes([7, 7, 7, 8])
+
+    @pytest.mark.parametrize("size", [40, 3000, 30000])
+    def test_roundtrip_across_width_changes(self, size):
+        # 3000 random bytes cross the 9→10→11-bit early-change boundaries;
+        # 30000 forces a mid-stream ClearCode (table full at 4094)
+        from dsm2dtm_spark.sources.tiffio import _lzw_decode
+
+        rng = np.random.default_rng(size)
+        data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data), size) == data
+
+    def test_cap_bounds_output(self):
+        from dsm2dtm_spark.sources.tiffio import _lzw_decode
+
+        enc = _lzw_encode(b"\x01" * 100000)
+        assert len(_lzw_decode(enc, 64)) == 64
+
+    def test_corrupt_stream_raises_typed(self):
+        from dsm2dtm_spark.sources.tiffio import _lzw_decode
+
+        # first data code references a not-yet-defined table entry
+        codes = [(256, 9), (300, 9)]
+        acc, n, buf = 0, 0, bytearray()
+        for code, cw in codes:
+            acc = (acc << cw) | code
+            n += cw
+            while n >= 8:
+                n -= 8
+                buf.append((acc >> n) & 0xFF)
+        buf.append((acc << (8 - n)) & 0xFF)
+        with pytest.raises(ValueError, match="LZW"):
+            _lzw_decode(bytes(buf), 100)
+
+    def _lzw_file(self, g: np.ndarray, predictor: int = 1) -> bytes:
+        """Build a single-strip LZW TIFF the way GDAL would (optionally with
+        the horizontal predictor on integer samples)."""
+        import struct
+
+        h, w = g.shape
+        if predictor == 2:
+            d = g.astype(np.int64)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            raw = (d % (1 << (g.itemsize * 8))).astype(g.dtype).tobytes()
+        else:
+            raw = g.tobytes()
+        pix = _lzw_encode(raw)
+        bits = g.itemsize * 8
+        sfmt = 3 if g.dtype.kind == "f" else 1
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, 1, struct.pack("<HH", bits, 0)),
+            (259, 3, 1, struct.pack("<HH", 5, 0)),
+            (273, 4, 1, None),
+            (279, 4, 1, struct.pack("<I", len(pix))),
+            (317, 3, 1, struct.pack("<HH", predictor, 0)),
+            (339, 3, 1, struct.pack("<HH", sfmt, 0)),
+        ]
+        ifd_end = 8 + 2 + 12 * len(entries) + 4
+        vals = {273: struct.pack("<I", ifd_end)}
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, val in sorted(entries):
+            ifd += struct.pack("<HHI", tag, ftype, count) + vals.get(tag, val or b"").ljust(4, b"\x00")[:4]
+        ifd += struct.pack("<I", 0)
+        return struct.pack("<2sHI", b"II", 42, 8) + ifd + pix
+
+    def test_lzw_float32_file_reads_exact(self):
+        rng = np.random.default_rng(11)
+        g = rng.normal(120, 15, (37, 53)).astype("<f4")
+        grid, _ = tiffio.read_geotiff(self._lzw_file(g))
+        np.testing.assert_array_equal(grid, g)
+
+    def test_lzw_uint16_with_horizontal_predictor(self):
+        # the standard `-co COMPRESS=LZW -co PREDICTOR=2` legacy layout
+        rng = np.random.default_rng(12)
+        g = (rng.integers(0, 4000, (29, 41))).astype("<u2")
+        grid, _ = tiffio.read_geotiff(self._lzw_file(g, predictor=2))
+        np.testing.assert_array_equal(grid, g)
+
+
+class TestObjectIngest:
+    """Path-or-open-object ingest parity (reference core.py:126-136,
+    test_core.py:189-198 `test_generate_dtm_with_object`): the engine must
+    accept an open handle / raw bytes / (array, profile) and run the DTM
+    pipeline on them exactly as it would on the file path."""
+
+    @staticmethod
+    def _tif(tmp_path, name="site.tif", seed=4):
+        rng = np.random.default_rng(seed)
+        g = rng.normal(100, 3, (24, 30)).astype(np.float32)
+        data = tiffio.write_geotiff(g, x0=500000.0, y0=4000000.0, xres=1.0, yres=1.0, epsg=32631)
+        p = tmp_path / name
+        p.write_bytes(data)
+        return str(p), g
+
+    def test_generate_dtm_with_object(self, spark, tmp_path):
+        # the reference scenario, distributed: open the file, hand the OBJECT
+        # (not the path) to the ingest, generate the DTM, check it ran
+        from dsm2dtm_spark import codecs, golden
+        from dsm2dtm_spark.plans import dtm_transform
+
+        path, g = self._tif(tmp_path)
+        with open(path, "rb") as handle:
+            df = tiffio.read_geotiff_objects(spark, [handle])
+            rows = dtm_transform(df, radius_m=8.0).collect()
+        assert len(rows) == 1 and (rows[0].h, rows[0].w) == (24, 30)
+        got = codecs.decode(rows[0].bytes, 24, 30, rows[0].fmt)
+        want = golden.dsm_to_dtm(g, (1.0, 1.0), radius_m=8.0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_mixed_paths_bytes_handles_arrays(self, spark, tmp_path):
+        path, g = self._tif(tmp_path)
+        raw = open(path, "rb").read()
+        arr_item = ("in_mem", g + 1.0, {"x0": 1.0, "y0": 2.0, "xres": 0.5, "yres": 0.5, "epsg": 32631})
+        df = tiffio.read_geotiff_objects(spark, [path, raw, open(path, "rb"), arr_item])
+        collected = df.collect()
+        assert len(collected) == 4  # the handle's .name == the path string,
+        # so the dict below holds 3 distinct ids for 4 rows
+        rows = {r.image_id: r for r in collected}
+        assert len(rows) == 3
+        assert rows["in_mem"].xres_m == 0.5 and rows["in_mem"].crs == 32631
+        assert rows["mem_000001.tif"].w == 30
+        # all four decode to consistent pixel grids
+        from dsm2dtm_spark import codecs
+
+        for r in rows.values():
+            assert codecs.decode(r.bytes, r.h, r.w, r.fmt).shape == (24, 30)
+
+    def test_array_without_crs_hard_fails(self, spark):
+        with pytest.raises(ValueError, match="no CRS"):
+            tiffio.read_raster_array("x", np.zeros((4, 4), np.float32), {"x0": 0.0})
+
+    def test_dispatching_wrapper_unions_paths_and_objects(self, spark, tmp_path):
+        path, g = self._tif(tmp_path)
+        df = geotiff.read_geotiff_objects(
+            spark, [path, ("mem", g, {"epsg": 32631})], reader="builtin"
+        )
+        assert df.count() == 2
+        with pytest.raises(TypeError, match="expected path"):
+            tiffio.read_geotiff_objects(spark, [42])

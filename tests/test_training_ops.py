@@ -567,3 +567,41 @@ class TestDecontamination:
         docs = self._docs(spark, [(1, self.BOILER)])
         plan = ngram_contamination(docs, ev)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestIterativeBarrierBudget:
+    """The CC loop must spend at most one driver action per check_every
+    rounds (lazy checkpoint + folded convergence count); at scale every
+    action is a full-job barrier (VERDICT r3 #8)."""
+
+    def test_fewer_checks_fewer_jobs_same_answer(self, spark):
+        import pandas as pd
+
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        sc = spark.sparkContext
+        verts = spark.createDataFrame(pd.DataFrame({"id": range(120)}))
+        edges = spark.createDataFrame(
+            pd.DataFrame({"left_id": range(119), "right_id": range(1, 120)})
+        )
+        results, jobs = {}, {}
+        for ce in (1, 3):
+            sc.setJobGroup(f"cc-budget-{ce}", "cc")
+            results[ce] = sorted(
+                (r.id, r.cluster_id)
+                for r in connected_components(verts, edges, id_col="id", check_every=ce).collect()
+            )
+            jobs[ce] = len(sc.statusTracker().getJobIdsForGroup(f"cc-budget-{ce}"))
+            sc.setJobGroup(None, None)
+        assert results[1] == results[3] == [(i, 0) for i in range(120)]
+        assert jobs[3] < jobs[1], jobs
+
+    def test_check_every_validation(self, spark):
+        import pandas as pd
+
+        from dsm2dtm_spark.operators.dedup import connected_components
+
+        verts = spark.createDataFrame(pd.DataFrame({"id": [0]}))
+        edges = spark.createDataFrame(pd.DataFrame({"left_id": [0], "right_id": [0]}))
+        with pytest.raises(ValueError, match="check_every"):
+            connected_components(verts, edges, id_col="id", check_every=0)
