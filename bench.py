@@ -127,6 +127,9 @@ def relational_queries(sf_dir: str):
         "emb_topk_cosine",
         "img_tile_assignments",
         "img_knn_anchors",
+        "docs_incremental_dedup",
+        "docs_decontam",
+        "docs_global_shuffle",
     ]
     return {n: qs[n] for n in names}
 

@@ -48,6 +48,87 @@ def decode_raw_f32(data: bytes, h: int, w: int) -> np.ndarray:
     return np.frombuffer(data, dtype="<f4", count=h * w).reshape(h, w).copy()
 
 
+def encode_zf32(grid: np.ndarray) -> bytes:
+    """LOSSLESS, ADAPTIVE shuffle-leg codec for the tiled plan's intra-job
+    payloads (tile cuts out, processed cores back). Spark lz4-compresses
+    shuffle FILES already, but the Arrow transfers across the Python↔JVM
+    boundary and the in-JVM row copies move the raw bytes — at 32 local
+    workers those copies are the measured memory-bandwidth ceiling
+    (BENCH/scaling.json), so shrinking the payload shrinks the wall.
+
+    Format: 1-byte marker + body. 'P' = PER-BYTE-PLANE: the f32 stream
+    splits into its 4 byte planes, and each plane independently ships raw
+    or zlib-1 (decided by a 16 KiB sample). This fits f32 rasters exactly:
+    the low-mantissa planes of lidar-like data are incompressible white
+    noise that plain deflate burns ~30 MB/s/core on for nothing, while the
+    exponent/high-mantissa planes compress 4-90× almost for free — per-
+    plane choice gets the whole-buffer ratio (~1.8× noisy, 200×+ smooth
+    terrain) at ~3.5× less CPU than whole-buffer deflate. 'R' = raw f32
+    passthrough when no plane is worth compressing (then decode is a
+    zero-copy frombuffer — no transpose). Lossless by construction."""
+    import struct
+    import zlib
+
+    raw = np.asarray(grid, dtype="<f4").tobytes()
+    planes = np.frombuffer(raw, np.uint8).reshape(-1, 4).T
+    flags, parts = [], []
+    for p in range(4):
+        pb = planes[p].tobytes()
+        sample = pb[: 1 << 14]
+        if len(zlib.compress(sample, 1)) < 0.6 * len(sample):
+            z = zlib.compress(pb, 1)
+            if len(z) < len(pb):
+                flags.append(1)
+                parts.append(z)
+                continue
+        flags.append(0)
+        parts.append(pb)
+    if not any(flags):
+        return b"R" + raw
+    header = struct.pack("<4B4I", *flags, *(len(p) for p in parts))
+    return b"P" + header + b"".join(parts)
+
+
+def decode_zf32(data: bytes, h: int, w: int) -> np.ndarray:
+    """Inverse of encode_zf32. Each plane's inflate is capped at the
+    caller's claimed h·w size (same bomb discipline as the TIFF reader);
+    short or unmarked streams raise the typed ValueError quarantine paths
+    expect."""
+    import struct
+    import zlib
+
+    n = h * w
+    marker, body = data[:1], data[1:]
+    if marker == b"R":
+        if len(body) < n * 4:
+            raise ValueError(f"zf32 payload truncated: {len(body)} < {n * 4}")
+        return np.frombuffer(body, dtype="<f4", count=n).reshape(h, w)
+    if marker != b"P":
+        raise ValueError(f"zf32 payload has unknown marker {marker!r}")
+    if len(body) < 20:
+        raise ValueError("zf32 payload truncated: missing plane header")
+    f0, f1, f2, f3, l0, l1, l2, l3 = struct.unpack("<4B4I", body[:20])
+    flags, lens = (f0, f1, f2, f3), (l0, l1, l2, l3)
+    planes = np.empty((4, n), dtype=np.uint8)
+    at = 20
+    for p in range(4):
+        chunk = body[at : at + lens[p]]
+        if len(chunk) < lens[p]:
+            raise ValueError(f"zf32 plane {p} truncated: {len(chunk)} < {lens[p]}")
+        at += lens[p]
+        if flags[p]:
+            try:
+                pb = zlib.decompressobj().decompress(chunk, n)
+            except zlib.error as exc:
+                raise ValueError(f"zf32 plane {p} is corrupt: {exc}") from exc
+        else:
+            pb = chunk
+        if len(pb) < n:
+            raise ValueError(f"zf32 plane {p} truncated: {len(pb)} < {n}")
+        planes[p] = np.frombuffer(pb, np.uint8, count=n)
+    return np.ascontiguousarray(planes.T).view("<f4").reshape(h, w)
+
+
 # ---------------------------------------------------------------- quantizers
 
 def _affine_params(grid: np.ndarray, nodata: float, levels: int) -> tuple[float, float]:

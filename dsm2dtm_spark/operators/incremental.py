@@ -123,6 +123,26 @@ class SignatureStore:
     def is_empty(self) -> bool:
         return self.signatures.current_snapshot() is None
 
+    def params(self) -> dict:
+        """The signature parameters the store was built with (recorded at
+        bootstrap). Empty dict for an empty store."""
+        snap = self.signatures.current_snapshot()
+        return (snap.summary or {}).get("sig_params", {}) if snap else {}
+
+    def check_params(self, n_hashes: int, bands: int, shingle_n: int, method: str) -> None:
+        """Fail fast when a batch's signature parameters differ from the
+        store's: mismatched n_hashes would zip NULL-padded signatures and
+        silently UNDERESTIMATE every Jaccard (near-dups leak through), and a
+        different hash method/shingle size makes buckets incomparable."""
+        want = {"n_hashes": n_hashes, "bands": bands, "shingle_n": shingle_n, "method": method}
+        have = self.params()
+        if have and have != want:
+            raise ValueError(
+                f"SignatureStore at {self.root} was built with {have}; this "
+                f"batch uses {want} — signatures would be incomparable. "
+                "Rebuild the store or match its parameters."
+            )
+
     def append(self, signatures_df: DataFrame, bands: int = 4, summary: dict | None = None) -> None:
         """Register a batch: commit its signature rows and derived band rows
         (derived here, not re-signed — slicing stored arrays is free)."""
@@ -246,11 +266,13 @@ def incremental_dedup(
     'keep' (bootstrap). NOTE: decisions are materialized before the commit
     (the commit itself re-executes the plan for the kept signatures)."""
     spark = fresh.sparkSession
+    sig_params = {"n_hashes": n_hashes, "bands": bands, "shingle_n": shingle_n, "method": method}
     if store.is_empty():
         sigs = sign_documents(fresh, text_col, id_col, n_hashes, shingle_n, method)
         if commit:
-            store.append(sigs, bands=bands, summary={"op": "bootstrap"})
+            store.append(sigs, bands=bands, summary={"op": "bootstrap", "sig_params": sig_params})
         return fresh.select(F.col(id_col), F.lit("keep").alias("verdict"))
+    store.check_params(n_hashes, bands, shingle_n, method)
     decisions, keep_sigs = dedup_against(
         fresh,
         store.read_signatures(spark),
@@ -266,5 +288,5 @@ def incremental_dedup(
     )
     decisions = decisions.localCheckpoint(eager=True)  # pin before the store mutates
     if commit:
-        store.append(keep_sigs, bands=bands, summary={"op": "incremental"})
+        store.append(keep_sigs, bands=bands, summary={"op": "incremental", "sig_params": sig_params})
     return decisions

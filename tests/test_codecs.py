@@ -101,3 +101,41 @@ class TestAHash:
         noisy = g + rng.normal(0, 0.01, g.shape).astype(np.float32)
         a, b = codecs.ahash64(g), codecs.ahash64(noisy)
         assert bin(np.uint64(a ^ b).item() if a ^ b >= 0 else (a ^ b) + (1 << 64)).count("1") <= 4
+
+
+class TestZf32ShuffleCodec:
+    def test_roundtrip_smooth_and_noisy(self):
+        rng = np.random.default_rng(6)
+        smooth = np.full((300, 200), 101.5, dtype=np.float32)
+        noisy = rng.normal(100, 5, (300, 200)).astype(np.float32)
+        for g in (smooth, noisy):
+            data = codecs.encode_zf32(g)
+            np.testing.assert_array_equal(codecs.decode_zf32(data, 300, 200), g)
+
+    def test_adaptive_markers(self):
+        rng = np.random.default_rng(7)
+        smooth = np.full((256, 256), 7.25, dtype=np.float32)
+        assert codecs.encode_zf32(smooth)[:1] == b"P"
+        assert len(codecs.encode_zf32(smooth)) < smooth.nbytes // 50
+        # pure-white-noise bytes in EVERY plane: nothing worth compressing
+        noise = np.frombuffer(rng.bytes(256 * 256 * 4), dtype="<f4").reshape(256, 256).copy()
+        assert codecs.encode_zf32(noise)[:1] == b"R"
+        # lidar-like data: noisy mantissa planes ship raw INSIDE a 'P'
+        # payload while the exponent planes compress — whole ratio ≥ 1.5×
+        lidar = (100.0 + rng.normal(0, 0.2, (256, 256))).astype(np.float32)
+        data = codecs.encode_zf32(lidar)
+        assert data[:1] == b"P" and len(data) < 0.7 * lidar.nbytes
+        np.testing.assert_array_equal(codecs.decode_zf32(data, 256, 256), lidar)
+
+    def test_truncated_and_unknown_marker_raise(self):
+        rng = np.random.default_rng(8)
+        g = rng.normal(100, 4, (64, 64)).astype(np.float32)  # Z path, real body
+        data = codecs.encode_zf32(g)
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            codecs.decode_zf32(data[: len(data) // 2], 64, 64)
+        with pytest.raises(ValueError, match="marker"):
+            codecs.decode_zf32(b"X" + data[1:], 64, 64)
+        raw = codecs.encode_zf32(np.frombuffer(rng.bytes(64 * 64 * 4), dtype="<f4").reshape(64, 64))
+        assert raw[:1] == b"R"
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.decode_zf32(raw[:100], 64, 64)

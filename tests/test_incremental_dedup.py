@@ -101,6 +101,19 @@ class TestIncrementalDedup:
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+class TestStoreParamGuard:
+    def test_mismatched_params_fail_fast(self, spark, tmp_path):
+        store = SignatureStore(str(tmp_path / "guard"))
+        incremental_dedup(store, _df(spark, CORPUS), method="md5", n_hashes=16)
+        with pytest.raises(ValueError, match="incomparable"):
+            incremental_dedup(store, _df(spark, FRESH_1), method="md5", n_hashes=32)
+        with pytest.raises(ValueError, match="incomparable"):
+            incremental_dedup(store, _df(spark, FRESH_1), method="xxhash64", n_hashes=16)
+        # matching params still work
+        out = incremental_dedup(store, _df(spark, FRESH_1), method="md5", n_hashes=16)
+        assert out.count() == 4
+
+
 class TestMd5SignatureProperties:
     def test_md5_signature_is_permutation_invariant_and_text_keyed(self, spark):
         sigs = {

@@ -206,7 +206,7 @@ class TestChunkedTiling:
         # reassembled cores ≡ the stitched plan's image
         canvas = np.full((512, 512), NODATA_DEFAULT, dtype=np.float32)
         for t in tiles:
-            core = codecs.decode_raw_f32(bytes(t.core_bytes), t.core_h, t.core_w)
+            core = codecs.decode_zf32(bytes(t.core_bytes), t.core_h, t.core_w)
             canvas[t.core_y : t.core_y + t.core_h, t.core_x : t.core_x + t.core_w] = core
         grid = codecs.decode(pdf.bytes.iloc[0], 512, 512, "raw_f32")
         want = golden.dsm_to_dtm(grid, (2.0, 2.0), radius_m=RADIUS)
