@@ -153,6 +153,51 @@ def main():
         )
     )
 
+    from dsm2dtm_spark.operators import decontam, incremental
+    from dsm2dtm_spark.operators.sampling import global_shuffle
+
+    corpus = docs.filter("doc_id % 2 = 0")
+    fresh = docs.filter("doc_id % 2 = 1")
+    sigs = incremental.sign_documents(corpus, method="md5").localCheckpoint(eager=True)
+    decisions, _ = incremental.dedup_against(fresh, sigs, incremental.band_buckets(sigs), method="md5")
+    sections.append(
+        (
+            "Incremental cross-snapshot dedup (stored side never re-shingled)",
+            "Every shingle expression (explode over sequence/substring) must hang "
+            "off the FRESH relation only; the committed side enters as the "
+            "materialized signature/band scans (here the localCheckpoint "
+            "placeholder; in production, parquet scans of the SignatureStore). "
+            "Candidate generation is a banded equi-join; verification joins the "
+            "two signature ARRAYS on candidate ids — the corpus text never "
+            "appears in the plan.",
+            fmt(decisions),
+        )
+    )
+
+    ev = docs.filter("doc_id % 7 = 0")
+    train = docs.filter("doc_id % 7 != 0")
+    sections.append(
+        (
+            "Benchmark decontamination (distinct-gram broadcast eval side)",
+            "The eval set collapses to DISTINCT grams and must be the "
+            "BroadcastHashJoin build side — the corpus side never shuffles, and a "
+            "boilerplate gram shared by every eval doc contributes ONE build row "
+            "(the flood guard).",
+            fmt(decontam.ngram_contamination(train, ev, n=13)),
+        )
+    )
+
+    sections.append(
+        (
+            "Deterministic global shuffle (bucket-parallel ranking)",
+            "No Window over an empty partitionBy (that would be a single-task "
+            "global sort): the ranking window partitions on the 256-way hash "
+            "prefix, and global ranks come from a broadcast join against the "
+            "tiny per-bucket offset table (itself a window over ≤256 rows).",
+            fmt(global_shuffle(docs, "doc_id", seed=42)),
+        )
+    )
+
     q1 = entry.queries()["q1_pricing_summary"](spark, sf)
     sections.append(
         (
