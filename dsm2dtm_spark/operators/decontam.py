@@ -25,10 +25,15 @@ from pyspark.sql import DataFrame, functions as F
 
 def word_ngram_expr(text_col: str, n: int):
     """array<string> of the text's DISTINCT word ``n``-grams (lowercased,
-    whitespace-tokenized, single-space-joined). Documents shorter than ``n``
-    tokens have no complete n-gram and yield an empty array — never partial
-    grams (matching the standard decontamination definition)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    space-tokenized via the engine's canonical ``tokens_ws`` — the SAME
+    split the quality gate and the DuckDB oracles use, so a tab/newline in
+    a document can never make Spark and the oracle disagree on grams).
+    Documents shorter than ``n`` tokens have no complete n-gram and yield
+    an empty array — never partial grams (matching the standard
+    decontamination definition)."""
+    from dsm2dtm_spark.functions.text import tokens_ws
+
+    toks = tokens_ws(F.col(text_col))
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),

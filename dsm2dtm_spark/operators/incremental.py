@@ -145,7 +145,11 @@ class SignatureStore:
 
     def append(self, signatures_df: DataFrame, bands: int = 4, summary: dict | None = None) -> None:
         """Register a batch: commit its signature rows and derived band rows
-        (derived here, not re-signed — slicing stored arrays is free)."""
+        (derived here, not re-signed — slicing stored arrays is free). The
+        input plan is materialized ONCE: without the checkpoint, the bands
+        write would re-execute the whole sign+dedup lineage a second time —
+        the most expensive stage of every ingest."""
+        signatures_df = signatures_df.localCheckpoint(eager=True)
         self.signatures.write_dataframe(signatures_df, summary=summary)
         self.bands.write_dataframe(band_buckets(signatures_df, bands=bands), summary=summary)
 

@@ -270,6 +270,7 @@ def derive_srp_topk_params(
     est_cos: float,
     target_recall: float = 0.9,
     n_planes: int | None = None,
+    n_tables: int | None = None,
     max_tables: int = 64,
     max_planes: int = 10,
 ) -> tuple[int, int]:
@@ -277,19 +278,24 @@ def derive_srp_topk_params(
     table with probability ≥ 1 − (1−target_recall)/2 — the top-k analog of
     ``srp_params_for`` (which solves the same inequality for a threshold).
     The halved miss budget leaves margin for the below-percentile tail of
-    neighbors. Fixing ``n_planes`` derives only the table count. On corpora
-    with no neighbor structure (uniform high-dim), the derivation honestly
-    degrades toward many shallow tables — approaching brute-force cost is
-    the information-theoretically correct answer there, and the caller sees
-    it in the returned table count rather than silently losing recall."""
+    neighbors. A caller may PIN either side: fixed ``n_planes`` derives the
+    matching table count; fixed ``n_tables`` picks the deepest (most
+    selective) plane count whose required tables still fit that budget —
+    the pinned value is never overwritten. On corpora with no neighbor
+    structure (uniform high-dim), the derivation honestly degrades toward
+    many shallow tables — approaching brute-force cost is the information-
+    theoretically correct answer there, and the caller sees it in the
+    returned table count rather than silently losing recall."""
     if not 0.0 < target_recall < 1.0:
         raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    if n_planes is not None and n_tables is not None:
+        return n_planes, n_tables
     p = 1.0 - math.acos(min(max(est_cos, -1.0), 1.0)) / math.pi
     delta = (1.0 - target_recall) / 2.0
     if p <= 0.0:
-        return 1, max_tables
+        return (n_planes or 1), (n_tables or max_tables)
     if p >= 1.0:
-        return (n_planes or max_planes), 1
+        return (n_planes or max_planes), (n_tables or 1)
 
     def tables_for(b: int) -> int:
         pb = p**b
@@ -297,6 +303,11 @@ def derive_srp_topk_params(
 
     if n_planes is not None:
         return n_planes, min(tables_for(n_planes), max_tables)
+    if n_tables is not None:
+        for b in range(max_planes, 0, -1):
+            if tables_for(b) <= n_tables:
+                return b, n_tables
+        return 1, n_tables  # best effort inside the pinned budget
     for b in range(max_planes, 0, -1):
         t = tables_for(b)
         if t <= max_tables:
@@ -503,7 +514,7 @@ def lsh_topk(
     if n_planes is None or n_tables is None:
         est = estimate_kth_neighbor_cosine(corpus, k, vec_col=vec_col, seed=13)
         n_planes, n_tables = derive_srp_topk_params(
-            est, target_recall=target_recall, n_planes=n_planes
+            est, target_recall=target_recall, n_planes=n_planes, n_tables=n_tables
         )
     bk = srp_buckets_udf(n_planes, n_tables, seed=seed)
     q = queries.select(

@@ -138,6 +138,7 @@ def read_geotiff_objects(spark, items, parallelism: int | None = None, reader: s
 
     from dsm2dtm_spark.sources import tiffio
 
+    items = list(items)  # a generator would be exhausted by the first pass
     paths = [os.fspath(i) for i in items if isinstance(i, (str, os.PathLike))]
     objects = [i for i in items if not isinstance(i, (str, os.PathLike))]
     parts = []

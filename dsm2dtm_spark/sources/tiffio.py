@@ -259,17 +259,19 @@ def _lzw_decode(data: bytes, cap: int) -> bytes:
     return bytes(out[:cap])
 
 
-def _check_claimed_alloc(claimed_bytes: int, file_bytes: int) -> None:
+def _check_claimed_alloc(claimed_bytes: int, file_bytes: int, max_ratio: int = 1100) -> None:
     """Bound the pixel-buffer allocation implied by header tags against the
     actual file size BEFORE allocating: a crafted few-hundred-byte file
     claiming a huge ImageWidth/Length or TileWidth/Length would otherwise
     force a multi-GB ``np.empty`` (executor OOM) while sidestepping the
-    per-strip Deflate-bomb cap, which only guards the data path. Deflate's
-    theoretical max expansion is 1032:1, so any claim past ~1100× the bytes
-    on disk is a forged header, not data; a 64 MiB floor keeps legitimately
-    sparse files (tiny file, real grid of sparse blocks) readable. Raises
-    the typed ValueError the permissive quarantine path expects."""
-    allowance = max(64 << 20, 1100 * max(file_bytes, 1))
+    per-strip Deflate-bomb cap, which only guards the data path. The ratio
+    is per-codec: Deflate's theoretical max expansion is 1032:1 (default
+    1100×), while LZW on constant data legitimately reaches ~1300-2700:1
+    (12-bit codes each emitting up-to-multi-KB table strings), so LZW files
+    get 3000×. A 64 MiB floor keeps legitimately sparse files (tiny file,
+    real grid of sparse blocks) readable. Raises the typed ValueError the
+    permissive quarantine path expects."""
+    allowance = max(64 << 20, max_ratio * max(file_bytes, 1))
     if claimed_bytes > allowance:
         raise ValueError(
             f"TIFF header claims {claimed_bytes} pixel bytes from a "
@@ -461,7 +463,10 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
         if len(offsets) < n_band_tiles:
             raise ValueError(f"TIFF tile table too short: {len(offsets)} < {n_band_tiles}")
         # planar band 1 = the first across×down tiles; chunky uses them all
-        _check_claimed_alloc(down * tl * across * tw * spp_interleaved * item, len(data))
+        _check_claimed_alloc(
+            down * tl * across * tw * spp_interleaved * item, len(data),
+            max_ratio=3000 if comp == 5 else 1100,
+        )
         full = np.empty((down * tl, across * tw, spp_interleaved), dtype=native)
         t_expected = tl * tw * spp_interleaved * item
         for idx in range(n_band_tiles):
@@ -488,7 +493,7 @@ def read_geotiff(data, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
             n_band_strips = math.ceil(h / rps)
             offsets, counts = offsets[:n_band_strips], counts[:n_band_strips]
         expected = w * h * spp_interleaved * item
-        _check_claimed_alloc(expected, len(data))
+        _check_claimed_alloc(expected, len(data), max_ratio=3000 if comp == 5 else 1100)
         parts, got = [], 0
         for i, (o, c) in enumerate(zip(offsets, counts)):
             if got >= expected:
@@ -624,7 +629,10 @@ def read_raster_array(image_id: str, grid: np.ndarray, profile: dict) -> dict:
     if profile.get("epsg") is None:
         raise ValueError(f"{image_id}: dataset has no CRS")
     grid = np.asarray(grid, dtype=np.float32)
-    nodata = profile.get("nodata", NODATA_DEFAULT)
+    # rasterio profiles always carry a nodata key, usually None — treat an
+    # explicit None exactly like an absent key (the file-path surface does)
+    nodata = profile.get("nodata")
+    nodata = NODATA_DEFAULT if nodata is None else nodata
     mask = np.isnan(grid) if np.isnan(nodata) else (grid == nodata) | np.isnan(grid)
     grid = np.where(mask, np.float32(NODATA_DEFAULT), grid)
     epsg = int(profile["epsg"])

@@ -22,10 +22,12 @@ Per batch:
 Exactly-once-ish semantics: a batch id (md5 of the resolved input path +
 row count) is recorded in the corpus commit summary; re-running the SAME
 batch against the same corpus is a no-op (the guard catches it before any
-signing). Both commits are atomic snapshot-manifest operations, and the
-store commit happens AFTER the corpus commit — a crash between them leaves
-rows committed but unsigned, which the next run repairs conservatively (the
-batch guard fires, or the rows simply re-sign as near-dups of themselves).
+signing). Both commits are atomic snapshot-manifest operations, corpus
+first, store second. A crash between them leaves rows committed but
+unsigned — every run opens with a REPAIR step that anti-joins corpus ids
+against store ids (two narrow scans) and re-signs exactly the unsigned
+rows, so the window self-heals before any new batch is processed (and
+the batch-id guard stays a pure no-op check).
 """
 
 from __future__ import annotations
@@ -33,6 +35,43 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+
+
+def repair_store(
+    spark,
+    corpus_table,
+    store,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    method: str = "xxhash64",
+) -> int:
+    """Re-sign corpus rows that have no signature in the store (the
+    crash-between-commits window, or a store lost to operator error):
+    corpus ids anti-join store ids — two narrow scans — then
+    ``sign_documents`` over ONLY the missing rows. Returns how many rows
+    were repaired (0 on the happy path, where this costs one cheap count)."""
+    from dsm2dtm_spark.operators.incremental import sign_documents
+
+    if corpus_table.current_snapshot() is None:
+        return 0
+    corpus = corpus_table.read(spark)
+    if store.is_empty():
+        missing = corpus
+    else:
+        store.check_params(n_hashes, bands, 3, method)
+        sig_ids = store.read_signatures(spark).select(id_col)
+        missing = corpus.join(sig_ids, on=id_col, how="left_anti")
+    missing = missing.localCheckpoint(eager=False)
+    n = missing.count()
+    if n:
+        sigs = sign_documents(missing, text_col, id_col, n_hashes=n_hashes, method=method)
+        store.append(sigs, bands=bands, summary={
+            "op": "repair",
+            "sig_params": {"n_hashes": n_hashes, "bands": bands, "shingle_n": 3, "method": method},
+        })
+    return n
 
 
 def ingest_batch(
@@ -63,24 +102,38 @@ def ingest_batch(
     from dsm2dtm_spark.operators.decontam import decontaminate
     from dsm2dtm_spark.operators.incremental import band_buckets, dedup_against, sign_documents
 
+    # self-heal BEFORE the batch guard: a crash between the corpus and store
+    # commits left rows committed-but-unsigned, and the guard would
+    # otherwise short-circuit past them forever
+    repaired = repair_store(
+        spark, corpus_table, store, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, bands=bands, method=method,
+    )
+
     cur = corpus_table.current_snapshot()
     seen = (cur.summary or {}).get("ingested_batches", []) if cur else []
     if batch_id and batch_id in seen:
-        return None, {"skipped": "batch already ingested", "batch_id": batch_id}
+        return None, {"skipped": "batch already ingested", "batch_id": batch_id, "repaired": repaired}
 
-    counts = {"input": fresh.count()}
+    counts = {"input": fresh.count(), "repaired": repaired}
 
+    # each stage is lazily checkpointed and materialized by its own count,
+    # so the chain executes ONCE — downstream consumers (dedup fresh side,
+    # survivors join, both store writes) read the cached blocks instead of
+    # re-running the quality/window/decontam lineage four more times
     q = quality_features(fresh, text_col=text_col)
     kept = q.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("stopword_ratio") <= max_stopword_ratio)
-    ).select(*fresh.columns)
+    ).select(*fresh.columns).localCheckpoint(eager=False)
     counts["after_quality"] = kept.count()
 
-    kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
+    kept = exact_dedup(kept, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
     counts["after_within_batch_exact"] = kept.count()
 
     if eval_docs is not None:
-        kept = decontaminate(kept, eval_docs, n=ngram, text_col=text_col, id_col=id_col)
+        kept = decontaminate(
+            kept, eval_docs, n=ngram, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=False)
         counts["after_decontam"] = kept.count()
 
     sig_params = {"n_hashes": n_hashes, "bands": bands, "shingle_n": 3, "method": method}

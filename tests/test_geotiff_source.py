@@ -905,6 +905,20 @@ class TestObjectIngest:
         with pytest.raises(ValueError, match="no CRS"):
             tiffio.read_raster_array("x", np.zeros((4, 4), np.float32), {"x0": 0.0})
 
+    def test_array_with_explicit_none_nodata(self, spark):
+        # rasterio profiles always carry nodata (usually None): must behave
+        # exactly like an absent key, not crash on np.isnan(None)
+        row = tiffio.read_raster_array(
+            "x", np.full((4, 4), 7.0, np.float32), {"epsg": 32631, "nodata": None}
+        )
+        assert row["crs"] == 32631 and row["w"] == 4
+
+    def test_generator_input_not_exhausted(self, spark, tmp_path):
+        path, g = self._tif(tmp_path)
+        raw = open(path, "rb").read()
+        df = geotiff.read_geotiff_objects(spark, (x for x in [path, raw]), reader="builtin")
+        assert df.count() == 2
+
     def test_dispatching_wrapper_unions_paths_and_objects(self, spark, tmp_path):
         path, g = self._tif(tmp_path)
         df = geotiff.read_geotiff_objects(

@@ -44,6 +44,7 @@ class TestIngestJob:
         _, c1 = ingest_batch(spark, batch1, corpus, store, batch_id="b1")
         assert c1 == {
             "input": 4,
+            "repaired": 0,
             "after_quality": 3,
             "after_within_batch_exact": 2,
             "dropped_exact_vs_corpus": 0,
@@ -90,6 +91,40 @@ class TestIngestJob:
         assert "dups" in snap.summary["ingested_batches"]
         _, c2 = ingest_batch(spark, dup_batch, corpus, store, batch_id="dups")
         assert c2.get("skipped")
+
+    def test_crash_window_self_heals(self, spark, tables):
+        """Corpus committed but store append lost (the crash-between-commits
+        window): the next run's repair step re-signs exactly the unsigned
+        rows, so a re-crawl of them is caught as 'exact' again."""
+        from ingest_snapshot import repair_store
+
+        corpus, store = tables
+        ingest_batch(
+            spark,
+            _df(spark, [(0, "a long enough document about parquet footers and row groups")]),
+            corpus,
+            store,
+            batch_id="b1",
+        )
+        # simulate the crash: commit straight to the corpus, bypass the store
+        lost = _df(spark, [(1, "an orphaned document whose signatures never got committed")])
+        corpus.write_dataframe(lost, summary={"op": "ingest", "ingested_batches": ["b1", "lost"]})
+        assert store.read_signatures(spark).count() == 1
+
+        n = repair_store(spark, corpus, store)
+        assert n == 1
+        assert store.read_signatures(spark).count() == 2
+
+        # and through the job surface: a re-crawl of the orphaned text drops
+        _, c = ingest_batch(
+            spark,
+            _df(spark, [(9, "an orphaned document whose signatures never got committed")]),
+            corpus,
+            store,
+            batch_id="b2",
+        )
+        assert c["repaired"] == 0  # already healed above
+        assert c["dropped_exact_vs_corpus"] == 1 and c["survivors"] == 0
 
     def test_param_drift_rejected_against_existing_store(self, spark, tables):
         corpus, store = tables

@@ -166,6 +166,10 @@ class TestANNAutoParams:
         assert t2 >= t  # tighter target → more tables
         fixed_b, fixed_t = S.derive_srp_topk_params(0.5, n_planes=4)
         assert fixed_b == 4 and fixed_t >= 1
+        # a pinned table budget is never overwritten; planes fit inside it
+        bt_b, bt_t = S.derive_srp_topk_params(0.5, n_tables=16)
+        assert bt_t == 16 and bt_b >= 1
+        assert S.derive_srp_topk_params(0.5, n_planes=3, n_tables=7) == (3, 7)
         with pytest.raises(ValueError):
             S.derive_srp_topk_params(0.5, target_recall=1.0)
 
