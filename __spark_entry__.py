@@ -762,6 +762,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_mixture_sample"] = docs_mixture_sample
 
+    def docs_scrub_pii(spark, sf):
+        # PII redaction (emails → IPs → phones, counts measured at each
+        # stage): testdata has no PII, so a deterministic leak is appended
+        # to every 10th doc in BOTH engines; compare counts + a fingerprint
+        # of the scrubbed text
+        from dsm2dtm_spark.functions.text import scrub_pii
+
+        d = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact admin@example.com or root@10.0.0.1 via 10.1.2.3 call +1 (415) 555-0199"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return scrub_pii(d).select(
+            "doc_id", "n_emails", "n_ips", "n_phones", F.md5("text_clean").alias("clean_fp")
+        )
+
+    q["docs_scrub_pii"] = docs_scrub_pii
+
+    def docs_repeated_passages(spark, sf):
+        # passage-level repetition: sliding 8-token windows every 4 tokens,
+        # a window is 'repeated' when its hash occurs in ≥2 distinct docs
+        from dsm2dtm_spark.operators.dedup import repeated_passage_stats
+
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        return repeated_passage_stats(d, window=8, stride=4)
+
+    q["docs_repeated_passages"] = docs_repeated_passages
+
     def docs_simhash(spark, sf):  # rows-only: xxhash64 not in DuckDB
         from dsm2dtm_spark.operators.dedup import simhash64
 
@@ -1487,6 +1520,54 @@ def oracle_sql() -> dict[str, str]:
             WHEN 'fr' THEN TRUE
             WHEN 'zh' THEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13) < '1999999999999'
             ELSE FALSE END
+    """
+
+    o["docs_scrub_pii"] = r"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text ||
+                        ' contact admin@example.com or root@10.0.0.1 via 10.1.2.3 call +1 (415) 555-0199'
+                   ELSE text END AS text
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id, text,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+            FROM seeded
+        ),
+        s2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+                   regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails, CAST(n_ips AS INTEGER) AS n_ips,
+               CAST(len(regexp_extract_all(t2, '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}')) AS INTEGER) AS n_phones,
+               md5(regexp_replace(t2, '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}', '<PHONE>', 'g')) AS clean_fp
+        FROM s2
+    """
+
+    o["docs_repeated_passages"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(0, CAST(floor((len(tk) - 8) / 4.0) AS INTEGER)),
+                i -> md5(array_to_string(list_slice(tk, i * 4 + 1, i * 4 + 8), ' ')))) AS wh
+            FROM toks WHERE len(tk) >= 8
+        ),
+        hd AS (
+            SELECT wh, count(*) AS nd
+            FROM (SELECT DISTINCT wh, doc_id FROM win) GROUP BY wh
+        )
+        SELECT w.doc_id, count(*) AS n_windows,
+               SUM(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS n_repeated,
+               ROUND(SUM(CASE WHEN hd.nd >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS repeated_frac
+        FROM win w JOIN hd USING (wh)
+        GROUP BY w.doc_id
     """
 
     o["docs_dup_clusters"] = """

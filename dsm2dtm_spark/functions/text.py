@@ -97,3 +97,42 @@ def rolling_hash64(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(131) + F.ascii(c)).bitwiseAND(F.lit(mask)),
     )
+
+
+# PII scrubbing: conservative RE2-compatible patterns (no lookarounds, so
+# the DuckDB oracle replays them verbatim). Order matters and is part of
+# the contract: emails first (their local parts can contain digit runs),
+# then IPs, then phones — each later pattern runs over the already-scrubbed
+# text, and the per-kind counts are measured at the same stage so
+# count == number of replacements exactly.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}",
+}
+PII_TOKENS = {"email": "<EMAIL>", "ip": "<IP>", "phone": "<PHONE>"}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_clean") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like digit runs with sentinel
+    tokens — the standard pre-training privacy pass. Pure JVM
+    ``regexp_replace``/``regexp_extract_all`` chain (whole-stage codegen,
+    no Python); adds ``out_col`` plus exact per-kind counts
+    (n_emails/n_ips/n_phones). The phone pattern is deliberately
+    conservative (international/US shapes with common separators) — a
+    curation pipeline prefers missing an exotic format over mangling
+    arithmetic in technical text."""
+    cur = F.col(text_col)
+    counts = {}
+    for kind in ("email", "ip", "phone"):
+        pat = PII_PATTERNS[kind]
+        counts[kind] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, PII_TOKENS[kind])
+    return df.withColumns(
+        {
+            "n_emails": counts["email"],
+            "n_ips": counts["ip"],
+            "n_phones": counts["phone"],
+            out_col: cur,
+        }
+    )

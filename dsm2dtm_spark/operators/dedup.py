@@ -327,3 +327,70 @@ def hamming_near_dup_pairs(
         .select("left_id", "right_id", F.lit(0).cast("int").alias("hamming"))
     )
     return cross.unionByName(within)
+
+
+def passage_window_hashes_expr(text_col: str, window: int, stride: int):
+    """array<string> of md5 hashes over SLIDING TOKEN WINDOWS (``window``
+    tokens every ``stride``): the passage-level fingerprint. Spans start at
+    token 1, 1+stride, … while a full window fits; texts shorter than one
+    window yield an empty array. Single-space tokenization (tokens_ws) so
+    DuckDB replays the hashes verbatim."""
+    from dsm2dtm_spark.functions.text import tokens_ws
+
+    toks = tokens_ws(F.col(text_col))
+    n_spans = F.floor((F.size(toks) - window) / stride) + 1
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans.cast("int") - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i * stride + 1, window), " ")),
+    )
+    return F.when(F.size(toks) >= window, spans).otherwise(F.array().cast("array<string>"))
+
+
+def repeated_passage_stats(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document repeated-passage measurement — the sub-document twin of
+    near-dup dedup (boilerplate headers, licence blocks, templated spans
+    repeat ACROSS documents that are not near-dups as wholes; curation
+    pipelines threshold on the repeated fraction). For each doc with ≥1
+    full window: (id, n_windows, n_repeated, repeated_frac) where a window
+    counts as repeated when its hash occurs in ≥ ``min_docs`` DISTINCT
+    documents.
+
+    Scale shape: one explode to narrow (id, hash) rows, one groupBy
+    counting distinct docs per hash (map-side partial), one equi-join back
+    — never all-pairs, and a boilerplate span shared by millions of docs is
+    one aggregate row, not a join explosion."""
+    win = docs.select(
+        F.col(id_col), F.explode(passage_window_hashes_expr(text_col, window, stride)).alias("wh")
+    )
+    hash_docs = (
+        win.select("wh", id_col)
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("_ndocs"))
+    )
+    flagged = hash_docs.filter(F.col("_ndocs") >= min_docs).select("wh")
+    per_doc = win.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    rep = (
+        win.join(flagged, on="wh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    return (
+        per_doc.join(rep, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.round(F.coalesce("n_repeated", F.lit(0)) / F.col("n_windows"), round_digits).alias(
+                "repeated_frac"
+            ),
+        )
+    )

@@ -605,3 +605,86 @@ class TestIterativeBarrierBudget:
         edges = spark.createDataFrame(pd.DataFrame({"left_id": [0], "right_id": [0]}))
         with pytest.raises(ValueError, match="check_every"):
             connected_components(verts, edges, id_col="id", check_every=0)
+
+
+class TestScrubPII:
+    def test_redacts_and_counts_each_kind(self, spark):
+        import pandas as pd
+
+        from dsm2dtm_spark.functions.text import scrub_pii
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                "contact bob.smith+x@mail.example.org or 10.0.255.7 now call +1 (415) 555-0199 ok",
+                "no pii here at all just words",
+                "two mails a@b.co c@d.org and ip 192.168.1.1",
+            ],
+        }))
+        rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert (rows[0].n_emails, rows[0].n_ips, rows[0].n_phones) == (1, 1, 1)
+        assert rows[0].text_clean == "contact <EMAIL> or <IP> now call <PHONE> ok"
+        assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (0, 0, 0)
+        assert rows[1].text_clean == rows[1].text
+        assert (rows[2].n_emails, rows[2].n_ips) == (2, 1)
+        assert "<EMAIL>" in rows[2].text_clean and "<IP>" in rows[2].text_clean
+
+    def test_order_of_stages_email_digits_not_double_counted(self, spark):
+        # an email whose local part looks like an IP must scrub as EMAIL
+        # (stage order is part of the contract), not leave '<IP>@host'
+        import pandas as pd
+
+        from dsm2dtm_spark.functions.text import scrub_pii
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["mail 10.1.2.3@evil.com end"]}))
+        r = scrub_pii(df).collect()[0]
+        assert r.n_emails == 1 and r.n_ips == 0
+        assert r.text_clean == "mail <EMAIL> end"
+
+    def test_stays_jvm_side(self, spark):
+        import pandas as pd
+
+        from dsm2dtm_spark.functions.text import scrub_pii
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
+        plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestRepeatedPassages:
+    def _docs(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def test_boilerplate_block_flagged_across_docs(self, spark):
+        from dsm2dtm_spark.operators.dedup import repeated_passage_stats
+
+        boiler = "this standard license header block appears verbatim in every single file"
+        docs = self._docs(spark, [
+            (0, f"{boiler} plus unique alpha content one two three four five six seven"),
+            (1, f"{boiler} plus other words entirely different here nine ten eleven twelve"),
+            (2, "completely unrelated document with its own twelve tokens and nothing shared"),
+        ])
+        out = {r.doc_id: r for r in repeated_passage_stats(docs, window=8, stride=4).collect()}
+        assert out[0].n_repeated >= 1 and out[1].n_repeated >= 1
+        assert out[2].n_repeated == 0
+        assert 0 < out[0].repeated_frac <= 1.0
+
+    def test_short_docs_have_no_windows(self, spark):
+        from dsm2dtm_spark.operators.dedup import repeated_passage_stats
+
+        docs = self._docs(spark, [(0, "too short"), (1, "eight tokens exactly here one two three four")])
+        rows = repeated_passage_stats(docs, window=8, stride=4).collect()
+        assert {r.doc_id for r in rows} == {1}
+        assert rows[0].n_windows == 1 and rows[0].n_repeated == 0
+
+    def test_within_doc_repetition_not_cross_doc(self, spark):
+        # the same block twice in ONE doc: min_docs=2 counts DISTINCT docs,
+        # so it is not flagged (self-repetition is a different signal)
+        from dsm2dtm_spark.operators.dedup import repeated_passage_stats
+
+        block = "a b c d e f g h"
+        docs = self._docs(spark, [(0, f"{block} {block}")])
+        r = repeated_passage_stats(docs, window=8, stride=8).collect()[0]
+        assert r.n_windows == 2 and r.n_repeated == 0
