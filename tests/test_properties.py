@@ -236,3 +236,59 @@ class TestPackingProperties:
                 pack_idx, offset = divmod(cum, budget)
                 assert offset < budget and pack_idx >= 0
                 cum += n
+
+
+class TestZf32Properties:
+    @FAST
+    @given(grids, st.sampled_from(["normal", "flat", "randbytes", "mixed"]))
+    def test_roundtrip_identity_all_regimes(self, hwsf, regime):
+        h, w, seed, frac = hwsf
+        rng = np.random.default_rng(seed)
+        if regime == "flat":
+            g = np.full((h, w), np.float32(rng.normal(100, 25)))
+        elif regime == "randbytes":
+            g = np.frombuffer(rng.bytes(h * w * 4), dtype="<f4").reshape(h, w).copy()
+        elif regime == "mixed":
+            g = _grid(h, w, seed, frac)
+            g[: h // 2] = 7.0  # half smooth, half noisy → per-plane split
+        else:
+            g = _grid(h, w, seed, frac)
+        data = codecs.encode_zf32(g)
+        back = codecs.decode_zf32(data, h, w)
+        np.testing.assert_array_equal(
+            np.asarray(back, dtype="<f4").view(np.uint32),
+            np.asarray(g, dtype="<f4").view(np.uint32),
+        )  # bit-exact incl. NaN payloads and signed zeros
+
+    @FAST
+    @given(st.binary(min_size=0, max_size=200), st.integers(min_value=1, max_value=16))
+    def test_garbage_raises_typed_never_crashes(self, junk, hw):
+        try:
+            codecs.decode_zf32(junk, hw, hw)
+        except ValueError:
+            pass  # the only acceptable failure type
+
+
+class TestLZWProperties:
+    @FAST
+    @given(st.integers(min_value=0, max_value=2**32 - 1),
+           st.integers(min_value=0, max_value=6000),
+           st.integers(min_value=1, max_value=8))
+    def test_roundtrip_any_alphabet(self, seed, size, alphabet_bits):
+        from dsm2dtm_spark.sources.tiffio import _lzw_decode
+
+        from tests.test_geotiff_source import _lzw_encode
+
+        rng = np.random.default_rng(seed)
+        data = (rng.integers(0, 1 << alphabet_bits, size) % 256).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data), max(size, 1)) == data
+
+    @FAST
+    @given(st.binary(min_size=0, max_size=100))
+    def test_garbage_raises_typed_never_crashes(self, junk):
+        from dsm2dtm_spark.sources.tiffio import _lzw_decode
+
+        try:
+            _lzw_decode(junk, 4096)
+        except ValueError:
+            pass
