@@ -690,11 +690,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_dup_clusters"] = docs_dup_clusters
 
-    def docs_minhash_near_dups(spark, sf):  # rows-only: xxhash64 not in DuckDB
+    def docs_minhash_near_dups(spark, sf):
+        # the FULL MinHash-LSH pipeline (signatures → banded candidates →
+        # exact Jaccard verify) in its md5 flavor — every step replays in
+        # DuckDB, so this graduated from rows-only to hash-checked in r4;
+        # the xxhash64 production flavor stays pinned by the flood pytests
         from dsm2dtm_spark.operators.dedup import minhash_near_dups
 
         d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-        return minhash_near_dups(d, threshold=0.6)
+        return minhash_near_dups(d, threshold=0.6, n_hashes=16, bands=4, method="md5")
 
     q["docs_minhash_near_dups"] = docs_minhash_near_dups
 
@@ -795,11 +799,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_repeated_passages"] = docs_repeated_passages
 
-    def docs_simhash(spark, sf):  # rows-only: xxhash64 not in DuckDB
+    def docs_simhash(spark, sf):
+        # md5 flavor: token-hash bits come from two 32-bit md5-hex halves —
+        # DuckDB replays them via ('0x'||substr(md5(tok),…))::BIGINT, so the
+        # 64 bit-sums and the final assembly are hash-checked (r4; was
+        # rows-only under xxhash64)
         from dsm2dtm_spark.operators.dedup import simhash64
 
         d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-        return simhash64(d)
+        return simhash64(d, method="md5")
 
     q["docs_simhash"] = docs_simhash
 
@@ -1568,6 +1576,188 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(CASE WHEN hd.nd >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS repeated_frac
         FROM win w JOIN hd USING (wh)
         GROUP BY w.doc_id
+    """
+
+    o["docs_minhash_near_dups"] = """
+        WITH sh AS (
+            SELECT d.doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(length(d.text) - 2, 1)),
+                i -> substr(lower(d.text), CAST(i AS INTEGER), 3)))) AS gram
+            FROM documents d
+        ),
+        comps AS (
+            SELECT sh.doc_id, t.i, MIN(md5(CAST(t.i AS VARCHAR) || ':' || sh.gram)) AS comp
+            FROM sh CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(16)) t
+            GROUP BY sh.doc_id, t.i
+        ),
+        bnd AS (
+            SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                   md5(string_agg(comp, '|' ORDER BY i)) AS bucket
+            FROM comps GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+            FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        grams AS (
+            SELECT d.doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(length(d.text) - 2, 1)),
+                i -> substr(lower(d.text), CAST(i AS INTEGER), 3))) AS g
+            FROM documents d
+        )
+        SELECT c.l AS left_id, c.r AS right_id,
+               ROUND(len(list_intersect(ga.g, gb.g))
+                     / len(list_distinct(list_concat(ga.g, gb.g))), 4) AS jaccard
+        FROM cand c JOIN grams ga ON ga.doc_id = c.l JOIN grams gb ON gb.doc_id = c.r
+        WHERE ROUND(len(list_intersect(ga.g, gb.g))
+                    / len(list_distinct(list_concat(ga.g, gb.g))), 4) >= 0.6
+    """
+
+    o["docs_simhash"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN (h1 >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+                   SUM(CASE WHEN (h1 >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+                   SUM(CASE WHEN (h1 >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+                   SUM(CASE WHEN (h1 >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+                   SUM(CASE WHEN (h1 >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+                   SUM(CASE WHEN (h1 >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+                   SUM(CASE WHEN (h1 >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+                   SUM(CASE WHEN (h1 >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+                   SUM(CASE WHEN (h1 >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+                   SUM(CASE WHEN (h1 >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+                   SUM(CASE WHEN (h1 >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+                   SUM(CASE WHEN (h1 >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+                   SUM(CASE WHEN (h1 >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+                   SUM(CASE WHEN (h1 >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+                   SUM(CASE WHEN (h1 >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+                   SUM(CASE WHEN (h1 >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+                   SUM(CASE WHEN (h1 >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+                   SUM(CASE WHEN (h1 >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+                   SUM(CASE WHEN (h1 >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+                   SUM(CASE WHEN (h1 >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+                   SUM(CASE WHEN (h1 >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+                   SUM(CASE WHEN (h1 >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+                   SUM(CASE WHEN (h1 >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+                   SUM(CASE WHEN (h1 >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+                   SUM(CASE WHEN (h1 >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+                   SUM(CASE WHEN (h1 >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+                   SUM(CASE WHEN (h1 >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+                   SUM(CASE WHEN (h1 >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+                   SUM(CASE WHEN (h1 >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+                   SUM(CASE WHEN (h1 >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+                   SUM(CASE WHEN (h1 >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+                   SUM(CASE WHEN (h1 >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+                   SUM(CASE WHEN (h2 >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+                   SUM(CASE WHEN (h2 >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+                   SUM(CASE WHEN (h2 >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+                   SUM(CASE WHEN (h2 >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+                   SUM(CASE WHEN (h2 >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+                   SUM(CASE WHEN (h2 >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+                   SUM(CASE WHEN (h2 >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+                   SUM(CASE WHEN (h2 >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+                   SUM(CASE WHEN (h2 >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+                   SUM(CASE WHEN (h2 >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+                   SUM(CASE WHEN (h2 >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+                   SUM(CASE WHEN (h2 >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+                   SUM(CASE WHEN (h2 >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+                   SUM(CASE WHEN (h2 >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+                   SUM(CASE WHEN (h2 >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+                   SUM(CASE WHEN (h2 >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+                   SUM(CASE WHEN (h2 >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+                   SUM(CASE WHEN (h2 >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+                   SUM(CASE WHEN (h2 >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+                   SUM(CASE WHEN (h2 >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+                   SUM(CASE WHEN (h2 >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+                   SUM(CASE WHEN (h2 >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+                   SUM(CASE WHEN (h2 >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+                   SUM(CASE WHEN (h2 >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+                   SUM(CASE WHEN (h2 >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+                   SUM(CASE WHEN (h2 >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+                   SUM(CASE WHEN (h2 >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+                   SUM(CASE WHEN (h2 >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b59,
+                   SUM(CASE WHEN (h2 >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b60,
+                   SUM(CASE WHEN (h2 >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b61,
+                   SUM(CASE WHEN (h2 >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b62,
+                   SUM(CASE WHEN (h2 >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b63
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b44 > 0 THEN CAST(17592186044416 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b45 > 0 THEN CAST(35184372088832 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b46 > 0 THEN CAST(70368744177664 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b47 > 0 THEN CAST(140737488355328 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b48 > 0 THEN CAST(281474976710656 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b49 > 0 THEN CAST(562949953421312 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b50 > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b51 > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b52 > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b53 > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b54 > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b55 > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b56 > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b57 > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b58 > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b59 > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b60 > 0 THEN CAST(1152921504606846976 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b61 > 0 THEN CAST(2305843009213693952 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b62 > 0 THEN CAST(4611686018427387904 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 + CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS BIGINT) AS simhash
+        FROM bits
     """
 
     o["docs_dup_clusters"] = """

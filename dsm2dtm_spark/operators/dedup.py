@@ -77,6 +77,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     bucket_cap: int | None = None,
+    bucket_method: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` values, bucket by (band, hash(band slice)), self-join
@@ -98,17 +99,20 @@ def minhash_lsh_candidates(
     members = signatures.join(reps, on="signature").select(
         F.col(id_col).alias("_mid"), F.col("_rep")
     )
+    def bucket_of(i):
+        sl = F.slice("signature", i * rows_per_band + 1, rows_per_band)
+        if bucket_method == "md5":
+            # SQL-replayable: md5 over the '|'-joined stringified slice
+            # (DuckDB: md5(string_agg(comp, '|' ORDER BY i)))
+            return F.md5(F.array_join(F.transform(sl, lambda x: x.cast("string")), "|"))
+        return F.xxhash64(sl.cast("string")).cast("string")
+
     b = reps.select(
         "_rep",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(F.slice("signature", i * rows_per_band + 1, rows_per_band).cast("string")).alias(
-                            "bucket"
-                        ),
-                    )
+                    F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )
@@ -150,12 +154,23 @@ def minhash_near_dups(
     n_hashes: int = 32,
     bands: int = 4,
     bucket_cap: int | None = None,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact n-gram-Jaccard verification ≥ threshold. ``bucket_cap`` bounds
-    candidate generation under near-dup floods (see minhash_lsh_candidates)."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    cand = minhash_lsh_candidates(sig, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap)
+    candidate generation under near-dup floods (see minhash_lsh_candidates).
+    ``method='md5'`` uses the string-MinHash signature + md5 band buckets —
+    every step SQL-replayable (the DuckDB-oracle flavor; xxhash64 stays the
+    fast production default)."""
+    if method == "md5":
+        from dsm2dtm_spark.operators.incremental import minhash_signatures_md5
+
+        sig = minhash_signatures_md5(df, text_col, id_col, n_hashes)
+    else:
+        sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    cand = minhash_lsh_candidates(
+        sig, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap, bucket_method=method
+    )
     docs = df.select(F.col(id_col), F.col(text_col))
     pairs = (
         cand.join(docs.withColumnRenamed(id_col, "left_id").withColumnRenamed(text_col, "left_text"), on="left_id")
@@ -236,16 +251,31 @@ def connected_components(
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", method: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     token hash bit, sign → bit. Explode + groupBy with 64 conditional sums,
-    all JVM."""
-    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")).filter(
-        "tok != ''"
-    )
-    toks = toks.withColumn("h", F.xxhash64("tok"))
+    all JVM. ``method='md5'`` draws the 64 token-hash bits from two 32-bit
+    halves of the token's md5 hex (conv(hex,16,10) — exactly replayable in
+    DuckDB via ('0x'||substr(md5(tok),…))::BIGINT, the oracle flavor);
+    xxhash64 stays the fast production default."""
+    from dsm2dtm_spark.functions.text import tokens_ws
+
+    # canonical single-space tokenization (tokens_ws) — same split as the
+    # quality gate, decontam, and every DuckDB oracle
+    toks = df.select(id_col, F.explode(tokens_ws(F.col(text_col))).alias("tok"))
+    if method == "md5":
+        toks = toks.withColumn(
+            "h1", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        ).withColumn("h2", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long"))
+        def bit(i):
+            col = F.col("h1") if i < 32 else F.col("h2")
+            return F.shiftright(col, i % 32).bitwiseAND(F.lit(1))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        def bit(i):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
     sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(64)
     ]
     agg = toks.groupBy(id_col).agg(*sums)

@@ -79,10 +79,11 @@ def test_every_query_has_oracle_or_documented_reason(spark):
     # list explicit so a forgotten oracle fails loudly. emb_lsh/ivf_topk and
     # dtm_pipeline_metrics graduated to real oracles in round 3 (materialized
     # planes/centroids + golden-clone metrics parquet).
+    # r4 gave docs_minhash_near_dups and docs_simhash real oracles (md5
+    # signature/bucket flavors replayable in DuckDB); only the HLL sketch
+    # remains genuinely un-replayable
     allowed_rows_only = {
         "approx_distinct_users",
-        "docs_minhash_near_dups",
-        "docs_simhash",
     }
     assert missing == allowed_rows_only
     assert not (set(oracles) - set(qs)), "oracle without a query"
