@@ -397,9 +397,12 @@ def repeated_passage_stats(
     counting distinct docs per hash (map-side partial), one equi-join back
     — never all-pairs, and a boilerplate span shared by millions of docs is
     one aggregate row, not a join explosion."""
+    # `win` (the tokenize+hash explode — the dominant cost) feeds three
+    # aggregation subtrees; the lazy checkpoint materializes it once at the
+    # first action instead of Catalyst recomputing the lineage per branch
     win = docs.select(
         F.col(id_col), F.explode(passage_window_hashes_expr(text_col, window, stride)).alias("wh")
-    )
+    ).localCheckpoint(eager=False)
     hash_docs = (
         win.select("wh", id_col)
         .distinct()

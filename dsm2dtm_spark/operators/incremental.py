@@ -166,6 +166,7 @@ class SignatureStore:
         files (bands clustered by ``bucket`` so the rewritten footers' minima
         and maxima make ``read(where=...)`` file skipping sharp). Returns
         {'signatures': n_compacted, 'bands': n_compacted}."""
+        kwargs.pop("sort_by", None)  # bands' clustering key is fixed
         s = self.signatures.compact(spark, **kwargs)
         b = self.bands.compact(spark, sort_by=["bucket"], **kwargs)
         return {
@@ -375,7 +376,6 @@ def ingest_batch(
     from dsm2dtm_spark.functions.text import quality_features
     from dsm2dtm_spark.operators.dedup import exact_dedup
     from dsm2dtm_spark.operators.decontam import decontaminate
-    from dsm2dtm_spark.operators.incremental import band_buckets, dedup_against, sign_documents
 
     # self-heal BEFORE the batch guard: a crash between the corpus and store
     # commits left rows committed-but-unsigned, and the guard would
@@ -385,8 +385,12 @@ def ingest_batch(
         n_hashes=n_hashes, bands=bands, method=method,
     )
 
-    cur = corpus_table.current_snapshot()
-    seen = (cur.summary or {}).get("ingested_batches", []) if cur else []
+    # idempotence guard over ALL snapshot summaries (one batch_id per
+    # commit): robust to compaction/maintenance commits interleaving (they
+    # simply carry no batch_id) and bounded per-snapshot state — the same
+    # pattern as streaming/ingest.py, instead of threading a growing list
+    # through the latest summary (which any unrelated commit would erase)
+    seen = {s.summary.get("batch_id") for s in corpus_table.snapshots() if s.summary}
     if batch_id and batch_id in seen:
         return None, {"skipped": "batch already ingested", "batch_id": batch_id, "repaired": repaired}
 
@@ -439,7 +443,7 @@ def ingest_batch(
     )
     summary = {"op": "ingest", **counts}
     if batch_id:
-        summary["ingested_batches"] = seen + [batch_id]
+        summary["batch_id"] = batch_id
     if counts["survivors"]:
         # corpus first, store second: a crash between the two leaves rows
         # committed but unsigned — the batch guard makes the rerun a no-op,

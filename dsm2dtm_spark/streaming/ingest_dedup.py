@@ -42,11 +42,17 @@ def streaming_doc_ingest(
     ingest over a parquet inbox. ``ingest_params`` pass through to
     ``ingest_batch`` (threshold, method, bucket_cap, ngram, …). Returns the
     query handle (already awaited in availableNow mode)."""
+    import hashlib
+
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(inbox_dir)
     )
+    # epoch ids restart at 0 per CHECKPOINT: scope the batch id to the
+    # checkpoint identity, or a second stream (new checkpoint, same corpus)
+    # would collide with old epoch ids and silently skip its first batches
+    ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
 
     def sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -57,7 +63,7 @@ def streaming_doc_ingest(
             corpus_table,
             store,
             eval_docs=eval_docs,
-            batch_id=f"epoch-{epoch_id}",
+            batch_id=f"{ckpt_tag}-epoch-{epoch_id}",
             **ingest_params,
         )
 

@@ -70,7 +70,11 @@ def prepare_training_mix(
         shuffled, budget_tokens=budget_tokens, n_buckets=n_buckets,
         id_col="shuffle_rank", text_col=text_col,
     ).withColumnRenamed("shuffle_rank", "_sr")
-    out = shuffled.join(packed, on=shuffled.shuffle_rank == F.col("_sr")).drop("_sr")
+    # materialize once: the metrics agg below and the caller's write would
+    # otherwise each re-execute the shuffle+pack+join lineage from scratch
+    out = shuffled.join(packed, on=shuffled.shuffle_rank == F.col("_sr")).drop("_sr").localCheckpoint(
+        eager=False
+    )
 
     agg = out.agg(
         F.sum("n_tokens").alias("tokens"),

@@ -88,7 +88,7 @@ class TestIngestJob:
         assert corpus.read(spark).count() == 1
         snap = corpus.current_snapshot()
         assert snap.summary["op"] == "ingest-empty"
-        assert "dups" in snap.summary["ingested_batches"]
+        assert snap.summary["batch_id"] == "dups"
         _, c2 = ingest_batch(spark, dup_batch, corpus, store, batch_id="dups")
         assert c2.get("skipped")
 
@@ -108,7 +108,7 @@ class TestIngestJob:
         )
         # simulate the crash: commit straight to the corpus, bypass the store
         lost = _df(spark, [(1, "an orphaned document whose signatures never got committed")])
-        corpus.write_dataframe(lost, summary={"op": "ingest", "ingested_batches": ["b1", "lost"]})
+        corpus.write_dataframe(lost, summary={"op": "ingest", "batch_id": "lost"})
         assert store.read_signatures(spark).count() == 1
 
         n = repair_store(spark, corpus, store)
@@ -138,3 +138,14 @@ class TestIngestJob:
                 n_hashes=32,
                 batch_id="b",
             )
+
+    def test_guard_survives_unrelated_commits(self, spark, tables):
+        """A maintenance/compaction commit (no batch_id in its summary) must
+        not erase the batch history — the guard scans ALL snapshots."""
+        corpus, store = tables
+        b = _df(spark, [(0, "a long enough document about parquet footers and row groups")])
+        ingest_batch(spark, b, corpus, store, batch_id="b1")
+        # maintenance-style commit: keeps the file set, carries no batch_id
+        corpus.commit([], operation="append", summary={"compacted": 0})
+        _, c = ingest_batch(spark, b, corpus, store, batch_id="b1")
+        assert c.get("skipped") == "batch already ingested"

@@ -63,6 +63,20 @@ class TestStreamingIngestDedup:
         assert c["dropped_exact_vs_corpus"] == 1 and c["survivors"] == 1
         assert sorted(r.doc_id for r in corpus.read(spark).collect()) == [0, 1, 11, 21]
 
+    def test_fresh_checkpoint_does_not_collide_with_old_epochs(self, spark, env, tmp_path):
+        """Epoch ids restart at 0 per checkpoint: a SECOND stream (new
+        checkpoint dir) into the same corpus must ingest its first batch
+        instead of short-circuiting on the first stream's epoch-0 id."""
+        inbox, corpus, store, ckpt = env
+        _write_batch(inbox, "a.parquet", [(0, "the very first streamed document with plenty of distinct words")])
+        streaming_doc_ingest(spark, inbox, corpus, store, ckpt)
+        assert corpus.read(spark).count() == 1
+
+        inbox2 = str(tmp_path / "inbox2")
+        _write_batch(inbox2, "z.parquet", [(50, "a wholly different second-stream document about other topics")])
+        streaming_doc_ingest(spark, inbox2, corpus, store, str(tmp_path / "ckpt2"))
+        assert corpus.read(spark).count() == 2  # NOT silently skipped
+
     def test_store_compaction_after_many_small_commits(self, spark, env):
         _, corpus, store, _ = env
         # genuinely distinct texts: near-identical templates would be
