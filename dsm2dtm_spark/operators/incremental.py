@@ -216,9 +216,12 @@ def dedup_against(
     )
     remaining = fresh_fp.join(stored_fps, on="fingerprint", how="left_anti")
 
+    # the fresh signing (shingle + n_hashes hashes per shingle — the most
+    # expensive stage) feeds THREE subtrees (band explode, the verify join,
+    # and the returned keep_sigs); lazy-checkpoint so it executes once
     fresh_sigs = sign_documents(
         remaining, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n, method=method
-    )
+    ).localCheckpoint(eager=False)
     fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands)
     corpus_bands = stored_bands.select(
         F.col(id_col).alias("_cid"), F.col("band"), F.col("bucket")
