@@ -187,6 +187,7 @@ def dedup_against(
     shingle_n: int = 3,
     method: str = "xxhash64",
     bucket_cap: int | None = None,
+    materialize_fresh: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a fresh batch against the committed corpus state. Returns
     ``(decisions, fresh_signatures)``:
@@ -218,10 +219,14 @@ def dedup_against(
 
     # the fresh signing (shingle + n_hashes hashes per shingle — the most
     # expensive stage) feeds THREE subtrees (band explode, the verify join,
-    # and the returned keep_sigs); lazy-checkpoint so it executes once
+    # and the returned keep_sigs); lazy-checkpoint so it executes once.
+    # ``materialize_fresh=False`` keeps the raw lineage visible — used by
+    # the no-reshingle PLAN test, which must see the shingle expressions
     fresh_sigs = sign_documents(
         remaining, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n, method=method
-    ).localCheckpoint(eager=False)
+    )
+    if materialize_fresh:
+        fresh_sigs = fresh_sigs.localCheckpoint(eager=False)
     fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands)
     corpus_bands = stored_bands.select(
         F.col(id_col).alias("_cid"), F.col("band"), F.col("bucket")

@@ -71,6 +71,7 @@ class TestIncrementalDedup:
             store.read_signatures(spark),
             store.read_bands(spark),
             method=method,
+            materialize_fresh=False,  # keep the raw lineage plan-inspectable
         )
         plan = decisions._jdf.queryExecution().optimizedPlan().toString()
         # every shingle explode in the plan hangs off the fresh in-memory
