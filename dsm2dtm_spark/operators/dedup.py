@@ -168,6 +168,10 @@ def minhash_near_dups(
         sig = minhash_signatures_md5(df, text_col, id_col, n_hashes)
     else:
         sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    # the signing feeds the candidate generator's collapse/member/band
+    # subtrees; materialize it once (the candidate step re-derives the
+    # relation three times otherwise)
+    sig = sig.localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(
         sig, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap, bucket_method=method
     )

@@ -159,7 +159,9 @@ def main():
     corpus = docs.filter("doc_id % 2 = 0")
     fresh = docs.filter("doc_id % 2 = 1")
     sigs = incremental.sign_documents(corpus, method="md5").localCheckpoint(eager=True)
-    decisions, _ = incremental.dedup_against(fresh, sigs, incremental.band_buckets(sigs), method="md5")
+    decisions, _ = incremental.dedup_against(
+        fresh, sigs, incremental.band_buckets(sigs), method="md5", materialize_fresh=False
+    )  # raw lineage: the checkpoint placeholder would hide the shingle story
     sections.append(
         (
             "Incremental cross-snapshot dedup (stored side never re-shingled)",
