@@ -1572,7 +1572,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT wh, doc_id FROM win) GROUP BY wh
         )
         SELECT w.doc_id, count(*) AS n_windows,
-               SUM(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS n_repeated,
+               CAST(SUM(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
                ROUND(SUM(CASE WHEN hd.nd >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS repeated_frac
         FROM win w JOIN hd USING (wh)
         GROUP BY w.doc_id

@@ -35,6 +35,45 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(map(tuple, df.itertuples(index=False, name=None)))
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict[str, str]:
+    """Per-column dtype KIND ('i' int, 'f' float, 'b' bool, 'O' other).
+
+    The driver's hash check compares raw materialized values, so an oracle
+    that surfaces DuckDB HUGEINT (-> pandas float64: 3.0) against Spark
+    int64 (3) fails THERE even though Python `3 == 3.0`. Comparing kinds
+    locally closes that blind spot (VERDICT r4 #2)."""
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "O")
+    return out
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Return a list of problems ('' clean) between a Spark result frame and
+    a DuckDB oracle frame: row count, column names, per-column dtype kinds,
+    then order-insensitive canonical values."""
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+    if not problems and len(sdf) > 0:
+        sk, ok = dtype_kinds(sdf), dtype_kinds(odf)
+        bad = {c: (sk[c], ok[c]) for c in sk if sk[c] != ok[c]}
+        if bad:
+            problems.append(f"dtype kinds differ (spark vs oracle): {bad}")
+    if not problems:
+        a, b = canon(sdf), canon(odf)
+        if a != b:
+            diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+            ex = "; ".join(f"{a[i]} vs {b[i]}" for i in diff)
+            problems.append(
+                f"values differ at {len([1 for x, y in zip(a, b) if x != y])} rows, e.g. {ex[:300]}"
+            )
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -72,17 +111,7 @@ def main():
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
             n_fail += 1
             continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        if not problems:
-            a, b = canon(sdf), canon(odf)
-            if a != b:
-                diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
-                ex = "; ".join(f"{a[i]} vs {b[i]}" for i in diff)
-                problems.append(f"values differ at {len([1 for x, y in zip(a,b) if x!=y])} rows, e.g. {ex[:300]}")
+        problems = compare(sdf, odf)
         if problems:
             print(f"FAIL  {name}: {' | '.join(problems)}")
             n_fail += 1

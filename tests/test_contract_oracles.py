@@ -16,6 +16,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
+from scripts.check_contract import compare  # noqa: E402  (same code path as the local gate)
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -65,9 +66,60 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     sdf = entry.queries()[name](spark, SF_DIR).toPandas()
     odf = duck.execute(entry.oracle_sql()[name]).df()
-    assert len(sdf) == len(odf), f"rowcount {len(sdf)} vs {len(odf)}"
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert canon(sdf) == canon(odf)
+    assert compare(sdf, odf) == []
+
+
+def test_compare_flags_uncast_duckdb_sum(duck):
+    """VERDICT r4 #2: an oracle surfacing SUM(int) without a cast comes back
+    HUGEINT -> pandas float64, so the driver hashes 3.0 against Spark's int64
+    3 and fails even though values are equal. The local gate's compare() must
+    catch that dtype-kind mismatch BEFORE value comparison (which would pass:
+    3 == 3.0 in Python)."""
+    import pandas as pd
+
+    sdf = pd.DataFrame({"k": ["a"], "n": pd.array([3], dtype="int64")})
+    uncast = duck.execute("SELECT 'a' AS k, SUM(x) AS n FROM (VALUES (1),(2)) t(x)").df()
+    assert uncast["n"].dtype.kind == "f", "expected the HUGEINT->float64 materialization"
+    problems = compare(sdf, uncast)
+    assert problems and "dtype kinds differ" in problems[0]
+
+    cast = duck.execute(
+        "SELECT 'a' AS k, CAST(SUM(x) AS BIGINT) AS n FROM (VALUES (1),(2)) t(x)"
+    ).df()
+    assert compare(sdf, cast) == []
+
+
+def test_docs_repeated_passages_oracle_dtypes(spark, duck):
+    """The r4 driver-red row: n_repeated must now materialize as an integer
+    kind on BOTH sides (the CAST AS BIGINT fix), and the full frames must
+    pass the dtype-aware compare."""
+    sdf = entry.queries()["docs_repeated_passages"](spark, SF_DIR).toPandas()
+    odf = duck.execute(entry.oracle_sql()["docs_repeated_passages"]).df()
+    assert odf["n_repeated"].dtype.kind in "iu", odf.dtypes
+    assert sdf["n_repeated"].dtype.kind in "iu", sdf.dtypes
+    assert compare(sdf, odf) == []
+
+
+def test_all_oracles_dtype_kinds_match(spark, duck):
+    """Sweep EVERY paired oracle at sf0.001 for per-column dtype-kind parity
+    with the Spark result — the cheap projection of the full driver hash
+    check that catches any other uncast DuckDB aggregate (SUM/HUGEINT, AVG
+    on ints) without the cost of re-running values comparison here (the
+    sf0.01 value sweep lives in scripts/check_contract.py)."""
+    from scripts.check_contract import dtype_kinds
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    bad = {}
+    for name, sql in oracles.items():
+        sdf = qs[name](spark, SF_DIR).toPandas()
+        odf = duck.execute(sql).df()
+        if len(sdf) == 0 or len(odf) == 0:
+            continue
+        sk, ok = dtype_kinds(sdf), dtype_kinds(odf)
+        mism = {c: (sk.get(c), ok.get(c)) for c in sk if sk.get(c) != ok.get(c)}
+        if mism:
+            bad[name] = mism
+    assert not bad, f"dtype-kind mismatches (spark vs oracle): {bad}"
 
 
 def test_every_query_has_oracle_or_documented_reason(spark):
