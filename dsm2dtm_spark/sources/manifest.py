@@ -353,6 +353,27 @@ class SnapshotTable:
                     deleted.append(rel)
         return deleted
 
+    def row_count(self, snapshot_id: int | None = None) -> int | None:
+        """Committed row count from parquet FOOTER metadata only (summed
+        ``num_rows`` over the snapshot's files — zero data pages read, cost
+        O(#files), tiny after compaction). The high-watermark primitive:
+        ``repair_store`` compares corpus rows vs signature rows to skip its
+        O(corpus) anti-join on the happy path. Returns None for a table with
+        no commits; raises nothing — an unreadable footer falls back to a
+        Spark count by the caller (never guessed)."""
+        import pyarrow.parquet as pq
+
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = next((s for s in self.snapshots() if s.snapshot_id == snapshot_id), None)
+        if snap is None:
+            return None
+        total = 0
+        for rel in snap.files:
+            total += pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata.num_rows
+        return total
+
     def write_pandas(self, pdf, operation: str = "append", summary: dict | None = None) -> Snapshot:
         """Commit a pandas DataFrame as one data file (generator convenience)."""
         import pyarrow as pa

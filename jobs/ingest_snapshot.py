@@ -19,15 +19,20 @@ Per batch:
         --store /path/to/sigstore [--eval-set /path/to/eval.parquet] \
         [--threshold 0.5] [--ngram 13] [--bucket-cap 20000] [--cores 32]
 
-Exactly-once-ish semantics: a batch id (md5 of the resolved input path +
-row count) is recorded in the corpus commit summary; re-running the SAME
-batch against the same corpus is a no-op (the guard catches it before any
-signing). Both commits are atomic snapshot-manifest operations, corpus
-first, store second. A crash between them leaves rows committed but
-unsigned — every run opens with a REPAIR step that anti-joins corpus ids
-against store ids (two narrow scans) and re-signs exactly the unsigned
-rows, so the window self-heals before any new batch is processed (and
-the batch-id guard stays a pure no-op check).
+Exactly-once-ish semantics: a batch id (md5 of the resolved input path,
+row count, AND an order-independent content digest — bit_xor of
+xxhash64(text, doc_id) — so a new snapshot re-landing at the same path
+with a coincidentally equal row count can never collide into a silent
+skip) is recorded in the corpus commit summary; re-running the SAME batch
+against the same corpus is a no-op (the guard catches it before any
+signing, and the skip decision is printed with the colliding id). Both
+commits are atomic snapshot-manifest operations, corpus first, store
+second. A crash between them leaves rows committed but unsigned — every
+run opens with a REPAIR step: a footer-metadata high-watermark check
+(corpus rows == signature rows → done, zero scans), falling back to the
+corpus-vs-store id anti-join that re-signs exactly the unsigned rows, so
+the window self-heals before any new batch is processed (and the batch-id
+guard stays a pure no-op check).
 """
 
 from __future__ import annotations
@@ -70,12 +75,23 @@ def main():
         fresh = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval_set) if args.eval_set else None
 
-    batch_id = hashlib.md5(f"{os.path.abspath(args.input)}:{fresh.count()}".encode()).hexdigest()[:16]
+    # content-folded id (ADVICE r4): path + row count + bit_xor of per-row
+    # xxhash64 — xor is order-independent (partitioning-stable) and cannot
+    # overflow, so distinct batches at the same path can't silently collide
+    from pyspark.sql import functions as F
+
+    agg = fresh.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(text, doc_id))").alias("xor"),
+    ).collect()[0]
+    batch_id = hashlib.md5(
+        f"{os.path.abspath(args.input)}:{agg['n']}:{agg['xor']}".encode()
+    ).hexdigest()[:16]
     _, counts = ingest_batch(
         spark,
         fresh,
         SnapshotTable(args.corpus),
-        SignatureStore(args.store),
+        SignatureStore(args.store, bucket_cap=args.bucket_cap),
         eval_docs=eval_docs,
         threshold=args.threshold,
         ngram=args.ngram,

@@ -7,9 +7,11 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dsm2dtm_spark.operators.incremental import (
     SignatureStore,
+    _matched_fingerprints,
     band_buckets,
     dedup_against,
     incremental_dedup,
@@ -87,6 +89,51 @@ class TestIncrementalDedup:
             if "parquet" in head:
                 assert "sequence(1, greatest(" not in head
 
+    def test_store_side_never_shuffles(self, spark, tmp_path, method):
+        """VERDICT r4 #3: with ``broadcast_fresh`` (default) every join in
+        the decisions plan must build on a batch-bounded side — no
+        SortMergeJoin / ShuffledHashJoin anywhere, so the 10^12-row stored
+        fingerprint/band/signature scans only ever STREAM. The exact-pass
+        probe subtree itself must carry zero shuffle Exchange."""
+        store = SignatureStore(str(tmp_path / f"bf_{method}"))
+        incremental_dedup(store, _df(spark, CORPUS), method=method)
+
+        fresh_fp = _df(spark, FRESH_1).withColumn("fingerprint", F.md5("text"))
+        probe = _matched_fingerprints(store.read_signatures(spark), fresh_fp)
+        pplan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in pplan and "LeftSemi" in pplan
+        assert "Exchange hashpartitioning" not in pplan  # store streams, fresh broadcasts
+
+        decisions, _ = dedup_against(
+            _df(spark, FRESH_1),
+            store.read_signatures(spark),
+            store.read_bands(spark),
+            method=method,
+            materialize_fresh=False,  # keep the full lineage plan-inspectable
+        )
+        plan = decisions._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 4  # probe, semi, anti, bands, verify
+
+    def test_broadcast_and_shuffle_paths_agree(self, spark, tmp_path, method):
+        """``broadcast_fresh=False`` (the too-big-to-broadcast batch path,
+        for bucketed stores) must produce identical verdicts."""
+        store = SignatureStore(str(tmp_path / f"agree_{method}"))
+        incremental_dedup(store, _df(spark, CORPUS), method=method)
+        kw = dict(method=method)
+        a = dedup_against(
+            _df(spark, FRESH_1), store.read_signatures(spark), store.read_bands(spark), **kw
+        )[0]
+        b = dedup_against(
+            _df(spark, FRESH_1),
+            store.read_signatures(spark),
+            store.read_bands(spark),
+            broadcast_fresh=False,
+            **kw,
+        )[0]
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
     def test_deterministic_across_partitioning(self, spark, tmp_path, method):
         store = SignatureStore(str(tmp_path / f"det_{method}"))
         incremental_dedup(store, _df(spark, CORPUS), method=method)
@@ -113,6 +160,110 @@ class TestStoreParamGuard:
         # matching params still work
         out = incremental_dedup(store, _df(spark, FRESH_1), method="md5", n_hashes=16)
         assert out.count() == 4
+
+
+class TestStoreCensusAndRepair:
+    """VERDICT r4 #5: the hot-bucket census moves to the write path and the
+    repair anti-join short-circuits on a footer-metadata high-watermark."""
+
+    FLOOD = [(i, f"standard legal boilerplate footer text {i % 2}") for i in range(50)]
+
+    def test_persisted_hot_list_matches_census(self, spark, tmp_path):
+        store = SignatureStore(str(tmp_path / "census"), bucket_cap=3)
+        incremental_dedup(store, _df(spark, self.FLOOD), method="md5", bucket_cap=3)
+        census = {
+            (r.band, r.bucket)
+            for r in store.read_bands(spark)
+            .groupBy("band", "bucket")
+            .count()
+            .filter("count > 3")
+            .select("band", "bucket")
+            .collect()
+        }
+        hot = {(r.band, r.bucket) for r in store.hot_buckets(spark, 3).collect()}
+        assert hot and hot == census
+        # mismatched cap → no persisted list (caller falls back to census)
+        assert store.hot_buckets(spark, 7) is None
+
+        # the capped dedup THROUGH the persisted list behaves like the
+        # on-the-fly census: boilerplate fresh doc is NOT flagged near
+        fresh = _df(spark, [(999, "standard legal boilerplate footer text 0 extra")])
+        out = incremental_dedup(store, fresh, method="md5", bucket_cap=3, commit=False)
+        assert [r.verdict for r in out.collect()] == ["keep"]
+
+    def test_census_accumulates_across_appends(self, spark, tmp_path):
+        # a bucket that crosses the cap only CUMULATIVELY (3 rows, then 3
+        # more via direct append) must turn hot — partial counts sum across
+        # commits, and compact()'s rollup must not lose that
+        store = SignatureStore(str(tmp_path / "accum"), bucket_cap=5)
+        text = "common boilerplate prefix shared by every flood document"
+        sigs1 = sign_documents(_df(spark, [(i, text) for i in range(3)]), method="md5")
+        store.append(sigs1, summary={"op": "t"})
+        assert store.hot_buckets(spark, 5).count() == 0
+        sigs2 = sign_documents(_df(spark, [(10 + i, text) for i in range(3)]), method="md5")
+        store.append(sigs2, summary={"op": "t"})
+        assert store.hot_buckets(spark, 5).count() == 4  # all 4 bands hot at n=6
+        store.compact(spark)
+        assert store.hot_buckets(spark, 5).count() == 4  # rollup carried the list
+        rolled = store.bucket_stats.read(spark).collect()
+        assert sorted(r.n for r in rolled) == [6, 6, 6, 6]
+
+    def test_cap_mismatch_on_reopen_fails_fast(self, spark, tmp_path):
+        store = SignatureStore(str(tmp_path / "capguard"), bucket_cap=3)
+        incremental_dedup(store, _df(spark, self.FLOOD), method="md5", bucket_cap=3)
+        reopened = SignatureStore(str(tmp_path / "capguard"))  # cap restored
+        assert reopened.bucket_cap == 3
+        with pytest.raises(ValueError, match="hot-bucket census"):
+            SignatureStore(str(tmp_path / "capguard"), bucket_cap=9)
+
+    def test_hot_list_skips_band_census_in_plan(self, spark, tmp_path):
+        store = SignatureStore(str(tmp_path / "planhot"), bucket_cap=3)
+        incremental_dedup(store, _df(spark, self.FLOOD), method="md5", bucket_cap=3)
+        fresh = _df(spark, [(999, "standard legal boilerplate footer text 0 extra")])
+        kw = dict(method="md5", materialize_fresh=False)
+        with_census = dedup_against(
+            fresh, store.read_signatures(spark), store.read_bands(spark), bucket_cap=3, **kw
+        )[0]
+        with_hot = dedup_against(
+            fresh,
+            store.read_signatures(spark),
+            store.read_bands(spark),
+            bucket_cap=3,
+            hot_buckets=store.hot_buckets(spark, 3),
+            **kw,
+        )[0]
+        p_census = with_census._jdf.queryExecution().optimizedPlan().toString()
+        p_hot = with_hot._jdf.queryExecution().optimizedPlan().toString()
+        # the persisted list replaces the stored-band groupBy census with a
+        # LocalRelation: strictly fewer Aggregates, and identical verdicts
+        assert p_hot.count("Aggregate") < p_census.count("Aggregate")
+        assert sorted(map(tuple, with_hot.collect())) == sorted(map(tuple, with_census.collect()))
+
+    def test_repair_happy_path_runs_zero_spark_jobs(self, spark, tmp_path):
+        from dsm2dtm_spark.operators.incremental import ingest_batch, repair_store
+        from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = SignatureStore(str(tmp_path / "repairstore"))
+        batch = _df(spark, [(i, f"document number {i} talks about turbines and rivers") for i in range(6)])
+        survivors, counts = ingest_batch(spark, batch, corpus, store, batch_id="b1")
+        assert counts["survivors"] == 6
+
+        sc = spark.sparkContext
+        sc.setJobGroup("repair-hw", "happy-path repair")
+        n = repair_store(spark, corpus, store)
+        ids = sc.statusTracker().getJobIdsForGroup("repair-hw")
+        sc.setJobGroup(None, None)
+        assert n == 0
+        assert list(ids) == []  # two footer sums, zero jobs, zero scans
+
+        # a REAL gap (corpus row without a signature) still repairs
+        corpus.write_pandas(
+            pd.DataFrame([(500, "an unsigned row landed by a crashed ingest")], columns=["doc_id", "text"]),
+            summary={"op": "crash-sim"},
+        )
+        assert repair_store(spark, corpus, store) == 1
+        assert store.read_signatures(spark).count() == 7
 
 
 class TestMd5SignatureProperties:

@@ -78,6 +78,27 @@ class TestIngestJob:
         assert corpus.read(spark).count() == 3
         assert store.read_signatures(spark).count() == 3
 
+    def test_batch_digest_is_content_sensitive(self, spark):
+        """ADVICE r4: the CLI batch id folds a content digest (bit_xor of
+        xxhash64(text, doc_id)) so two different snapshots landing at the
+        SAME path with the SAME row count cannot collide into a silent
+        skip; the digest must also be partitioning-invariant (xor is
+        order-independent)."""
+        from pyspark.sql import functions as F
+
+        def digest(df):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(text, doc_id))").alias("xor"),
+            ).collect()[0]
+            return (r["n"], r["xor"])
+
+        a = _df(spark, [(0, "monday snapshot body"), (1, "second document text")])
+        b = _df(spark, [(0, "tuesday snapshot body"), (1, "second document text")])
+        assert digest(a)[0] == digest(b)[0]  # same count — the old id collided here
+        assert digest(a)[1] != digest(b)[1]
+        assert digest(a) == digest(a.repartition(7))
+
     def test_all_dropped_batch_still_records_batch_id(self, spark, tables):
         corpus, store = tables
         base = _df(spark, [(0, "a long enough document about parquet footers and row groups")])
