@@ -295,6 +295,232 @@ class SignatureStore:
         }
 
 
+class BucketedSignatureStore:
+    """SignatureStore variant whose sub-tables are hive-BUCKETED EXTERNAL
+    tables — ``signatures`` bucketed+sorted by ``fingerprint``, ``bands`` by
+    ``(band, bucket)`` (operators/bucketing.py applied to the dedup store;
+    VERDICT r4 #4). The bucket files ARE the shuffle, paid once at write:
+    every per-batch join against the store reads the stored side with ZERO
+    Exchange — only the fresh batch shuffles (to n_buckets partitions).
+
+    Use this (with ``dedup_against(broadcast_fresh=False)``) when batches
+    are too big to broadcast; the default SignatureStore + broadcast probes
+    cover the common small-batch-vs-huge-store case.
+
+    Storage is self-contained under ``root``: parquet bucket files in
+    versioned subdirectories (``signatures_v0`` …, bumped by ``compact``)
+    plus a small JSON manifest (column DDL + bucket spec for catalog
+    re-registration, sig_params, cumulative row count — the repair
+    high-watermark — and append summaries) updated atomically AFTER the
+    table writes, plus the same ``bucket_stats`` census table as
+    SignatureStore. The session catalog is only a cache: any new Spark
+    session (a later spark-submit run) re-registers the tables from the
+    manifest DDL on first touch, and the bucketed-read property survives
+    because it lives in the catalog entry the manifest recreates.
+    Single-writer, like every snapshot table here. Crash points: between
+    table write and manifest update ⇒ the row count is stale-low, which
+    only makes the next repair run its anti-join (conservative); mid-compact
+    ⇒ the manifest still points at the old version and the half-written new
+    version directory is swept by the next compact."""
+
+    MAX_HOT_LIST = SignatureStore.MAX_HOT_LIST
+    _BUCKET_COLS = {"signatures": ["fingerprint"], "bands": ["band", "bucket"]}
+
+    def __init__(self, root: str, bucket_cap: int | None = None, n_buckets: int = 16):
+        import hashlib
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
+        self.sig_table = f"sigstore_{digest}_signatures"
+        self.bands_table = f"sigstore_{digest}_bands"
+        self.bucket_stats = SnapshotTable(f"{root}/bucket_stats")
+        meta = self._meta()
+        persisted_buckets = meta.get("n_buckets")
+        if persisted_buckets is not None and persisted_buckets != n_buckets:
+            n_buckets = persisted_buckets  # layout is fixed at creation
+        self.n_buckets = n_buckets
+        persisted_cap = self._persisted_cap()
+        if bucket_cap is not None and persisted_cap is not None and bucket_cap != persisted_cap:
+            raise ValueError(
+                f"BucketedSignatureStore at {root} maintains its hot-bucket census "
+                f"for bucket_cap={persisted_cap}; reopen with that cap (got {bucket_cap})."
+            )
+        self.bucket_cap = bucket_cap if bucket_cap is not None else persisted_cap
+
+    # --------------------------------------------------------- manifest
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "store.json")
+
+    def _meta(self) -> dict:
+        import json
+
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_meta(self, meta: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path())
+
+    # -------------------------------------------------------- interface
+
+    def is_empty(self) -> bool:
+        return not self._meta().get("rows")
+
+    def params(self) -> dict:
+        return self._meta().get("sig_params", {})
+
+    check_params = SignatureStore.check_params
+    _persisted_cap = SignatureStore._persisted_cap
+    _update_bucket_census = SignatureStore._update_bucket_census
+    hot_buckets = SignatureStore.hot_buckets
+
+    def _table_name(self, kind: str) -> str:
+        return self.sig_table if kind == "signatures" else self.bands_table
+
+    def _location(self, kind: str, version: int) -> str:
+        import os
+
+        return os.path.join(os.path.abspath(self.root), f"{kind}_v{version}")
+
+    def _register(self, spark, kind: str, entry: dict) -> None:
+        cols = self._BUCKET_COLS[kind]
+        clustered = ", ".join(cols)
+        spark.sql(
+            f"CREATE TABLE {self._table_name(kind)} ({entry['ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({clustered}) SORTED BY ({clustered}) "
+            f"INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{self._location(kind, entry['version'])}'"
+        )
+
+    def _ensure_registered(self, spark) -> None:
+        """Recreate the catalog entries from the manifest DDL when this
+        session hasn't seen the store yet (the in-memory catalog does not
+        survive spark-submit runs; the manifest is the source of truth)."""
+        for kind, entry in self._meta().get("tables", {}).items():
+            if not spark.catalog.tableExists(self._table_name(kind)):
+                self._register(spark, kind, entry)
+
+    def append(self, signatures_df: DataFrame, bands: int = 4, summary: dict | None = None) -> None:
+        signatures_df = signatures_df.localCheckpoint(eager=True)
+        n_new = signatures_df.count()  # cached blocks — cheap; keeps the manifest's watermark
+        spark = signatures_df.sparkSession
+        self._ensure_registered(spark)
+        meta = self._meta()
+        tables = meta.setdefault("tables", {})
+        band_rows = band_buckets(signatures_df, bands=bands).localCheckpoint(eager=False)
+        for kind, df in (("signatures", signatures_df), ("bands", band_rows)):
+            cols = self._BUCKET_COLS[kind]
+            writer = (
+                df.write.bucketBy(self.n_buckets, *cols).sortBy(*cols).format("parquet")
+            )
+            if kind in tables:
+                writer.mode("append").saveAsTable(self._table_name(kind))
+            else:
+                entry = {
+                    "version": 0,
+                    "ddl": ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+                    ),
+                }
+                # path option ⇒ EXTERNAL table: data under the store root,
+                # catalog entry recreatable from the manifest in any session
+                writer.mode("overwrite").option(
+                    "path", self._location(kind, 0)
+                ).saveAsTable(self._table_name(kind))
+                tables[kind] = entry
+        if self.bucket_cap is not None:
+            self._update_bucket_census(band_rows)
+        meta["rows"] = meta.get("rows", 0) + n_new
+        meta["n_buckets"] = self.n_buckets
+        if summary and summary.get("sig_params"):
+            meta["sig_params"] = summary["sig_params"]
+        meta.setdefault("summaries", []).append(summary or {})
+        self._write_meta(meta)
+
+    def read_signatures(self, spark) -> DataFrame:
+        self._ensure_registered(spark)
+        return spark.table(self.sig_table)
+
+    def read_bands(self, spark) -> DataFrame:
+        self._ensure_registered(spark)
+        return spark.table(self.bands_table)
+
+    def signature_row_count(self) -> int | None:
+        return self._meta().get("rows") or None
+
+    def compact(self, spark, **kwargs) -> dict:
+        """Fold the many small per-append bucket files into one file per
+        bucket (rewrite into the NEXT versioned location with the same
+        bucket spec, then swap the catalog entry and manifest pointer) —
+        restores the sorted-within-bucket property that lets the bucketed
+        SMJ skip its per-partition Sort. Old version directories (and any
+        half-written orphans from a crashed compact) are swept after the
+        manifest commit. Census partials roll up like the parent store's."""
+        import glob
+        import shutil
+
+        self._ensure_registered(spark)
+        out = {}
+        meta = self._meta()
+        for kind, cols in self._BUCKET_COLS.items():
+            name = self._table_name(kind)
+            entry = meta.get("tables", {}).get(kind)
+            if entry is None or not spark.catalog.tableExists(name):
+                out[kind] = 0
+                continue
+            new_version = entry["version"] + 1
+            new_loc = self._location(kind, new_version)
+            shutil.rmtree(new_loc, ignore_errors=True)  # crashed-compact orphan
+            tmp = f"{name}__rewrite"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            (
+                spark.table(name)
+                .repartition(self.n_buckets, *[F.col(c) for c in cols])
+                .write.mode("overwrite")
+                .option("path", new_loc)
+                .bucketBy(self.n_buckets, *cols)
+                .sortBy(*cols)
+                .format("parquet")
+                .saveAsTable(tmp)
+            )
+            spark.sql(f"DROP TABLE {name}")  # external: catalog entry only
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")  # keeps new_loc
+            entry["version"] = new_version
+            out[kind] = 1
+        self._write_meta(meta)
+        # sweep every version directory the manifest no longer references
+        for kind, entry in meta.get("tables", {}).items():
+            current = self._location(kind, entry["version"])
+            for d in glob.glob(self._location(kind, 0)[:-1] + "*"):
+                if d != current:
+                    shutil.rmtree(d, ignore_errors=True)
+        snap = self.bucket_stats.current_snapshot()
+        if snap is not None and len(snap.files) > 1:
+            rolled = (
+                self.bucket_stats.read(spark).groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+            )
+            carried = {
+                k: v for k, v in snap.summary.items() if k in ("bucket_cap", "hot", "hot_overflow")
+            }
+            self.bucket_stats.write_dataframe(rolled, operation="rollup", summary=carried)
+            out["bucket_stats"] = len(snap.files)
+        return out
+
+
 def _matched_fingerprints(stored_signatures: DataFrame, fresh_fp: DataFrame) -> DataFrame:
     """Store-side probe for the exact pass: stream the store's fingerprint
     column ONCE through a BroadcastHashJoin against the (small) fresh
@@ -472,6 +698,7 @@ def incremental_dedup(
     method: str = "xxhash64",
     bucket_cap: int | None = None,
     commit: bool = True,
+    broadcast_fresh: bool = True,
 ) -> DataFrame:
     """End-to-end store-backed step: dedup ``fresh`` against the store,
     commit the kept rows' signatures (one atomic snapshot per table), return
@@ -498,6 +725,7 @@ def incremental_dedup(
         shingle_n=shingle_n,
         method=method,
         bucket_cap=bucket_cap,
+        broadcast_fresh=broadcast_fresh,
         hot_buckets=store.hot_buckets(spark, bucket_cap),
     )
     decisions = decisions.localCheckpoint(eager=True)  # pin before the store mutates
@@ -576,6 +804,7 @@ def ingest_batch(
     batch_id: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_fresh: bool = True,
 ):
     """One incremental-ingest step. Returns (survivors DataFrame or None,
     stage-count dict). ``corpus_table``/``store`` mutate only when there is
@@ -641,6 +870,7 @@ def ingest_batch(
             bands=bands,
             method=method,
             bucket_cap=bucket_cap,
+            broadcast_fresh=broadcast_fresh,
             hot_buckets=store.hot_buckets(spark, bucket_cap),
         )
         decisions = decisions.localCheckpoint(eager=True)

@@ -59,12 +59,20 @@ def main():
     ap.add_argument("--max-stopword-ratio", type=float, default=0.9)
     ap.add_argument("--method", choices=["xxhash64", "md5"], default="xxhash64")
     ap.add_argument("--bucket-cap", type=int, default=None)
+    ap.add_argument(
+        "--bucketed-store",
+        action="store_true",
+        help="hive-bucketed store layout (signatures by fingerprint, bands by "
+        "(band,bucket)) + shuffle joins instead of broadcast probes — for "
+        "batches too big to broadcast; the stored side still reads with zero "
+        "Exchange (the bucket files are the shuffle, paid once at write)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
     import os
 
-    from dsm2dtm_spark.operators.incremental import SignatureStore
+    from dsm2dtm_spark.operators.incremental import BucketedSignatureStore, SignatureStore
     from dsm2dtm_spark.session import get_spark
     from dsm2dtm_spark.sources import SnapshotTable
 
@@ -87,11 +95,13 @@ def main():
     batch_id = hashlib.md5(
         f"{os.path.abspath(args.input)}:{agg['n']}:{agg['xor']}".encode()
     ).hexdigest()[:16]
+    store_cls = BucketedSignatureStore if args.bucketed_store else SignatureStore
     _, counts = ingest_batch(
         spark,
         fresh,
         SnapshotTable(args.corpus),
-        SignatureStore(args.store, bucket_cap=args.bucket_cap),
+        store_cls(args.store, bucket_cap=args.bucket_cap),
+        broadcast_fresh=not args.bucketed_store,
         eval_docs=eval_docs,
         threshold=args.threshold,
         ngram=args.ngram,

@@ -1,0 +1,243 @@
+"""BucketedSignatureStore (VERDICT r4 #4): the dedup store's sub-tables as
+hive bucketed+sorted managed tables — signatures by fingerprint, bands by
+(band, bucket) — so the per-batch joins read the stored side with ZERO
+Exchange even when the fresh batch is too big to broadcast
+(dedup_against(broadcast_fresh=False))."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dsm2dtm_spark.operators.incremental import (
+    BucketedSignatureStore,
+    SignatureStore,
+    dedup_against,
+    incremental_dedup,
+    sign_documents,
+)
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (1, "pack my box with five dozen liquor jugs before the long journey"),
+    (2, "sphinx of black quartz judge my vow said the tired old archivist"),
+    (3, "a completely different document about distributed query engines"),
+]
+FRESH = [
+    (100, "the quick brown fox jumps over the lazy dog in the morning sun"),  # exact dup of 0
+    (101, "pack my box with five dozen liquor jugs before the long journeys"),  # near dup of 1
+    (102, "totally novel content discussing alpine meadows and glacier melt"),
+    (103, "another unrelated text on sparse matrix factorization methods"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    """Force SMJ so the bucketed-vs-shuffled asymmetry is visible in plans
+    (tiny test frames would otherwise all turn into broadcast joins)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestBucketedStore:
+    def test_lifecycle_matches_plain_store(self, spark, tmp_path):
+        plain = SignatureStore(str(tmp_path / "plain"))
+        bucketed = BucketedSignatureStore(str(tmp_path / "bucketed"), n_buckets=4)
+        for store, bf in ((plain, True), (bucketed, False)):
+            boot = incremental_dedup(store, _df(spark, CORPUS), method="md5", broadcast_fresh=bf)
+            assert {r.verdict for r in boot.collect()} == {"keep"}
+        got_plain = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup(plain, _df(spark, FRESH), method="md5").collect()
+        }
+        got_bucketed = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup(
+                bucketed, _df(spark, FRESH), method="md5", broadcast_fresh=False
+            ).collect()
+        }
+        assert got_bucketed == got_plain == {100: "exact", 101: "near", 102: "keep", 103: "keep"}
+        # the store grew identically (kept rows only), and the watermark tracks it
+        assert bucketed.read_signatures(spark).count() == 6
+        assert bucketed.signature_row_count() == 6
+        assert bucketed.read_bands(spark).count() == 6 * 4
+        assert bucketed.params() == plain.params()
+
+    def test_stored_side_joins_read_without_exchange(self, spark, tmp_path):
+        store = BucketedSignatureStore(str(tmp_path / "planstore"), n_buckets=4)
+        store.append(
+            sign_documents(_df(spark, CORPUS), method="md5"),
+            summary={"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}},
+        )
+        fresh_fp = _df(spark, FRESH).select("doc_id", F.md5("text").alias("fingerprint"))
+        with _no_auto_broadcast(spark):
+            jp = store.read_signatures(spark).join(fresh_fp, on="fingerprint")
+            plan = jp._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            # exactly ONE shuffle — the fresh side; the store reads its buckets
+            assert plan.count("Exchange hashpartitioning") == 1
+            assert "SortMergeJoin" in plan
+
+            # synthetic non-bucketed fresh band rows (same schema/types)
+            rows = store.read_bands(spark).select("band", "bucket").collect()[:4]
+            fresh_bands = spark.createDataFrame(
+                pd.DataFrame([(r.band, r.bucket) for r in rows], columns=["band", "bucket"]),
+                schema=store.read_bands(spark).select("band", "bucket").schema,
+            )
+            jb = store.read_bands(spark).join(fresh_bands, on=["band", "bucket"])
+            bplan = jb._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in bplan
+            # exactly ONE shuffle — the synthetic fresh side
+            assert bplan.count("Exchange hashpartitioning") == 1
+
+    def test_full_dedup_against_bucketed_store_no_store_shuffle(self, spark, tmp_path):
+        store = BucketedSignatureStore(str(tmp_path / "fullplan"), n_buckets=4)
+        incremental_dedup(store, _df(spark, CORPUS), method="md5", broadcast_fresh=False)
+        with _no_auto_broadcast(spark):
+            decisions, _ = dedup_against(
+                _df(spark, FRESH),
+                store.read_signatures(spark),
+                store.read_bands(spark),
+                method="md5",
+                broadcast_fresh=False,
+                materialize_fresh=False,
+            )
+            plan = decisions._jdf.queryExecution().executedPlan().toString()
+            # every stored-side scan is bucketed; Exchanges exist only on
+            # fresh-derived subtrees (signing aggregates etc.) — no stored
+            # FileScan sits directly under an Exchange
+            assert plan.count("Bucketed: true") >= 2
+            got = {r.doc_id: r.verdict for r in decisions.collect()}
+            assert got == {100: "exact", 101: "near", 102: "keep", 103: "keep"}
+
+    def test_compact_folds_to_one_file_per_bucket(self, spark, tmp_path):
+        store = BucketedSignatureStore(str(tmp_path / "cmp"), n_buckets=4)
+        sp = {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}
+        for i in range(5):  # five appends, every bucket touched each time
+            batch = [
+                (100 * i + j, f"wholly distinct document {i}-{j} about topic {i * 31 + j}")
+                for j in range(10)
+            ]
+            store.append(sign_documents(_df(spark, batch), method="md5"), summary={"sig_params": sp})
+        import os
+
+        def _files(table):
+            loc = (
+                spark.sql(f"DESCRIBE FORMATTED {table}")
+                .filter("col_name = 'Location'")
+                .collect()[0]
+                .data_type.replace("file:", "")
+            )
+            return [f for f in os.listdir(loc) if f.endswith(".parquet")]
+
+        before = store.read_signatures(spark).count()
+        n_files_before = len(_files(store.sig_table))
+        assert n_files_before > 4  # append pileup: more files than buckets
+        res = store.compact(spark)
+        assert res["signatures"] == 1 and res["bands"] == 1
+        assert store.read_signatures(spark).count() == before
+        assert store.signature_row_count() == before  # manifest untouched by rewrite
+        # folded to ~one file per bucket — strictly fewer than the pileup
+        assert len(_files(store.sig_table)) < n_files_before
+        with _no_auto_broadcast(spark):
+            jp = store.read_signatures(spark).join(
+                _df(spark, FRESH).select(F.md5("text").alias("fingerprint")), on="fingerprint"
+            )
+            assert "Bucketed: true" in jp._jdf.queryExecution().executedPlan().toString()
+
+    def test_census_and_cap_guard(self, spark, tmp_path):
+        flood = [(i, f"standard legal boilerplate footer text {i % 2}") for i in range(50)]
+        store = BucketedSignatureStore(str(tmp_path / "census"), bucket_cap=3, n_buckets=4)
+        incremental_dedup(store, _df(spark, flood), method="md5", bucket_cap=3, broadcast_fresh=False)
+        census = {
+            (r.band, r.bucket)
+            for r in store.read_bands(spark)
+            .groupBy("band", "bucket")
+            .count()
+            .filter("count > 3")
+            .select("band", "bucket")
+            .collect()
+        }
+        hot = {(r.band, r.bucket) for r in store.hot_buckets(spark, 3).collect()}
+        assert hot and hot == census
+        with pytest.raises(ValueError, match="hot-bucket census"):
+            BucketedSignatureStore(str(tmp_path / "census"), bucket_cap=9)
+
+    def test_reregisters_from_manifest_in_fresh_catalog(self, spark, tmp_path):
+        """The in-memory catalog dies with the spark-submit session; the
+        store manifest must recreate the EXTERNAL bucketed tables — with the
+        bucketed-read property intact — on first touch in a new session.
+        Simulated by dropping the catalog entries (data is external, so the
+        files survive the DROP exactly as they survive a session exit)."""
+        store = BucketedSignatureStore(str(tmp_path / "xsession"), n_buckets=4)
+        incremental_dedup(store, _df(spark, CORPUS), method="md5", broadcast_fresh=False)
+        spark.sql(f"DROP TABLE {store.sig_table}")
+        spark.sql(f"DROP TABLE {store.bands_table}")
+        reopened = BucketedSignatureStore(str(tmp_path / "xsession"))
+        assert reopened.n_buckets == 4  # layout restored from manifest
+        assert reopened.read_signatures(spark).count() == 4
+        assert reopened.read_bands(spark).count() == 16
+        with _no_auto_broadcast(spark):
+            jp = reopened.read_signatures(spark).join(
+                _df(spark, FRESH).select(F.md5("text").alias("fingerprint")), on="fingerprint"
+            )
+            plan = jp._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange hashpartitioning") == 1
+        got = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup(
+                reopened, _df(spark, FRESH), method="md5", broadcast_fresh=False
+            ).collect()
+        }
+        assert got == {100: "exact", 101: "near", 102: "keep", 103: "keep"}
+
+    def test_compact_survives_catalog_loss(self, spark, tmp_path):
+        """Compact bumps the versioned location; a later session must
+        re-register at the NEW location and the old directory is gone."""
+        import os
+
+        store = BucketedSignatureStore(str(tmp_path / "cmpx"), n_buckets=4)
+        sp = {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}
+        for i in range(2):
+            batch = [(10 * i + j, f"distinct doc {i}-{j} topic {i * 7 + j}") for j in range(5)]
+            store.append(sign_documents(_df(spark, batch), method="md5"), summary={"sig_params": sp})
+        store.compact(spark)
+        assert not os.path.exists(store._location("signatures", 0))
+        assert os.path.exists(store._location("signatures", 1))
+        spark.sql(f"DROP TABLE {store.sig_table}")
+        spark.sql(f"DROP TABLE {store.bands_table}")
+        reopened = BucketedSignatureStore(str(tmp_path / "cmpx"))
+        assert reopened.read_signatures(spark).count() == 10
+        with _no_auto_broadcast(spark):
+            jp = reopened.read_signatures(spark).join(
+                _df(spark, FRESH).select(F.md5("text").alias("fingerprint")), on="fingerprint"
+            )
+            assert "Bucketed: true" in jp._jdf.queryExecution().executedPlan().toString()
+
+    def test_repair_high_watermark_with_bucketed_store(self, spark, tmp_path):
+        from dsm2dtm_spark.operators.incremental import ingest_batch, repair_store
+        from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = BucketedSignatureStore(str(tmp_path / "store"), n_buckets=4)
+        batch = _df(spark, [(i, f"document number {i} mentions turbines and rivers") for i in range(5)])
+        _, counts = ingest_batch(spark, batch, corpus, store, batch_id="b1", broadcast_fresh=False)
+        assert counts["survivors"] == 5
+        sc = spark.sparkContext
+        sc.setJobGroup("repair-hw-bucketed", "happy path")
+        assert repair_store(spark, corpus, store) == 0
+        ids = sc.statusTracker().getJobIdsForGroup("repair-hw-bucketed")
+        sc.setJobGroup(None, None)
+        assert list(ids) == []
