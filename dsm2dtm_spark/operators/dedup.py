@@ -261,7 +261,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", met
     all JVM. ``method='md5'`` draws the 64 token-hash bits from two 32-bit
     halves of the token's md5 hex (conv(hex,16,10) — exactly replayable in
     DuckDB via ('0x'||substr(md5(tok),…))::BIGINT, the oracle flavor);
-    xxhash64 stays the fast production default."""
+    xxhash64 stays the fast production default.
+
+    COMPATIBILITY: since round 4 BOTH methods tokenize with ``tokens_ws``
+    (single-space split, the engine-wide canonical tokenizer); earlier
+    rounds split the xxhash64 flavor on ``\\s+``, so texts containing
+    tabs/newlines/runs of spaces hash differently now. SimHash values
+    persisted by a pre-round-4 build are NOT comparable with new output —
+    re-sign the corpus rather than mixing vintages in one hamming join."""
     from dsm2dtm_spark.functions.text import tokens_ws
 
     # canonical single-space tokenization (tokens_ws) — same split as the

@@ -64,6 +64,14 @@ def _permutation_key(id_col: str, seed: int):
     return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
 
 
+def _bucket_prefix_len(n_buckets: int) -> int:
+    """Hex-prefix length whose 16^len ranges cover ``n_buckets`` (rounded
+    up to whole hex characters): 16 ⇒ 1, 256 ⇒ 2, 4096 ⇒ 3."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    return max(1, -(-(max(n_buckets, 2) - 1).bit_length() // 4))  # ceil(log16)
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str,
@@ -78,14 +86,16 @@ def global_shuffle(
     the order is identical).
 
     Scale shape: a naive global ROW_NUMBER is one executor sorting the
-    whole corpus. Instead the hash key's first byte splits rows into
-    ``n_buckets`` ranges that the key order already respects (hex prefix =
-    most significant digits), each bucket ranks locally in parallel, and a
-    tiny ``n_buckets``-row exclusive-cumsum of bucket counts (computed
-    in-plan, broadcast back) turns local ranks into global ones. Two narrow
-    shuffles of (key, id), never a single-task sort."""
+    whole corpus. Instead the hash key's leading hex digits split rows into
+    ranges that the key order already respects (hex prefix = most
+    significant digits), each bucket ranks locally in parallel, and a tiny
+    exclusive-cumsum of bucket counts (computed in-plan, broadcast back)
+    turns local ranks into global ones. Two narrow shuffles of (key, id),
+    never a single-task sort. ``n_buckets`` is rounded UP to the next power
+    of 16 (the prefix is whole hex characters): 256 ⇒ 2 chars, 4096 ⇒ 3 —
+    size it so corpus_rows / n_buckets fits one task's local sort."""
     keyed = df.withColumn("_skey", _permutation_key(id_col, seed)).withColumn(
-        "_bucket", F.substring("_skey", 1, 2)
+        "_bucket", F.substring("_skey", 1, _bucket_prefix_len(n_buckets))
     )
     counts = keyed.groupBy("_bucket").count()
     w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)

@@ -20,9 +20,16 @@ import json
 def check_resume_mode(out, mode: str) -> None:
     """Fail fast when a resume flips --tiled: the two branches commit
     different lineage columns (n_tiles/compute_ms vs phash/valid_*/wall_ms),
-    so mixing them in one table breaks the snapshot read's schema union."""
-    snap = out.current_snapshot()
-    prev = (snap.summary or {}).get("op") if snap else None
+    so mixing them in one table breaks the snapshot read's schema union.
+    The comparison scans back to the most recent DTM commit rather than
+    just the head: a maintenance operation (e.g. compact's op='compact')
+    on top must not make a legitimate same-mode resume abort."""
+    prev = None
+    for snap in reversed(out.snapshots()):
+        op = (snap.summary or {}).get("op")
+        if op in ("dtm", "dtm-tiled"):
+            prev = op
+            break
     if prev and prev != mode:
         raise SystemExit(
             f"output table {out.root} was written with mode {prev!r}; "

@@ -147,3 +147,9 @@ class TestResumeModeGuard:
         check_resume_mode(out, "dtm")  # same mode resumes
         with pytest.raises(SystemExit, match="mix incompatible lineage"):
             check_resume_mode(out, "dtm-tiled")
+        # a maintenance commit on top (op='compact') must not mask the real
+        # mode: same-mode resume still passes, flipped mode still fails
+        out.write_pandas(pd.DataFrame({"image_id": ["b"]}), summary={"op": "compact"})
+        check_resume_mode(out, "dtm")
+        with pytest.raises(SystemExit, match="mix incompatible lineage"):
+            check_resume_mode(out, "dtm-tiled")

@@ -48,6 +48,25 @@ class TestGlobalShuffle:
         }
         assert a == b == c
 
+    def test_n_buckets_changes_parallel_width_not_result(self, spark, docs):
+        # n_buckets sizes the hash-prefix ranges (ADVICE r4: the parameter
+        # used to be dead); the rank is a pure function of data + seed, so
+        # any width must yield the identical permutation
+        from dsm2dtm_spark.operators.sampling import _bucket_prefix_len
+
+        base = {r.doc_id: r.shuffle_rank for r in global_shuffle(docs, "doc_id", seed=3).collect()}
+        for n in (16, 4096):
+            got = {
+                r.doc_id: r.shuffle_rank
+                for r in global_shuffle(docs, "doc_id", seed=3, n_buckets=n).collect()
+            }
+            assert got == base
+        # the prefix length actually derives from n_buckets (rounded up to
+        # whole hex chars)
+        assert [_bucket_prefix_len(n) for n in (1, 16, 17, 256, 257, 4096)] == [1, 1, 2, 2, 3, 3]
+        with pytest.raises(ValueError, match="n_buckets"):
+            _bucket_prefix_len(0)
+
     def test_seed_changes_order(self, spark, docs):
         a = {r.doc_id: r.shuffle_rank for r in global_shuffle(docs, "doc_id", seed=1).collect()}
         b = {r.doc_id: r.shuffle_rank for r in global_shuffle(docs, "doc_id", seed=2).collect()}
