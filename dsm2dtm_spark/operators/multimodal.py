@@ -6,8 +6,9 @@ grids; all heavy work happens in Arrow-batched ``mapInPandas`` stages.
 Codec status in this environment (no PIL/cv2/ffmpeg — SURVEY.md §7.0):
 - ``png_rgb`` is a REAL codec: a from-scratch stdlib-zlib PNG truecolor
   decoder (8-bit RGB/RGBA, all five scanline filters — None/Sub/Up/Average/
-  Paeth — per the PNG spec) plus a filter-0 encoder, so any tool's
-  non-interlaced RGB8 PNG decodes here without external libraries.
+  Paeth — and both interlace methods, progressive Adam7 included, per the
+  PNG spec) plus a filter-0 encoder, so any tool's RGB8 PNG decodes here
+  without external libraries.
 - ``wav_pcm16`` is a REAL audio codec (stdlib ``wave``): standard PCM16 WAV
   files decode to int16 sample arrays, with an encoder for round trips;
   ``audio_features`` extracts duration/RMS/zero-crossings/peak per row.
@@ -106,21 +107,57 @@ def _unfilter_scanline(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) 
     raise ValueError(f"invalid PNG filter type {ftype}")
 
 
+# Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step) per pass.
+# Each pass is an independently-filtered sub-image of every (y_start +
+# k*y_step)-th row's (x_start + k*x_step)-th pixels; empty passes (a
+# dimension rounds to zero) contribute no bytes at all, not even filter
+# bytes.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_block(raw: bytes, offset: int, n_rows: int, n_px: int, channels: int):
+    """Unfilter one independently-filtered scanline block (the whole image,
+    or one Adam7 pass: the filter predecessor resets to zero at each block
+    start). Returns (uint8 (n_rows, n_px, channels), next_offset)."""
+    stride = 1 + channels * n_px
+    if len(raw) < offset + n_rows * stride:
+        raise ValueError("PNG pixel data truncated")
+    prev = np.zeros(channels * n_px, dtype=np.uint8)
+    rows = []
+    for i in range(n_rows):
+        line = raw[offset + i * stride : offset + (i + 1) * stride]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).copy()
+        cur = _unfilter_scanline(line[0], cur, prev, channels)
+        prev = cur
+        rows.append(cur.reshape(n_px, channels))
+    block = np.stack(rows) if rows else np.empty((0, n_px, channels), dtype=np.uint8)
+    return block, offset + n_rows * stride
+
+
 def decode_png_rgb8(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
-    """Any non-interlaced 8-bit truecolor PNG (color type 2, or 6 with the
-    alpha channel dropped) → uint8 (h, w, 3). Pure stdlib+numpy; handles all
-    five scanline filters, so PNGs written by PIL/libpng/etc decode here."""
+    """Any 8-bit truecolor PNG (color type 2, or 6 with the alpha channel
+    dropped; interlace 0 or Adam7) → uint8 (h, w, 3). Pure stdlib+numpy;
+    handles all five scanline filters and progressive interlacing, so PNGs
+    written by PIL/libpng/etc decode here."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     idat = b""
-    pw = ph = channels = None
+    pw = ph = channels = interlace = None
     for tag, payload in _iter_png_chunks(data):
         if tag == b"IHDR":
             pw, ph, depth, ctype, _comp, _filt, interlace = struct.unpack_from(">IIBBBBB", payload)
             if depth != 8 or ctype not in (2, 6):
                 raise ValueError(f"png_rgb decodes 8-bit truecolor (type 2/6), got depth={depth} type={ctype}")
-            if interlace != 0:
-                raise ValueError("Adam7 interlacing not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
             channels = 3 if ctype == 2 else 4
         elif tag == b"IDAT":
             idat += payload
@@ -131,16 +168,21 @@ def decode_png_rgb8(data: bytes, h: int | None = None, w: int | None = None) -> 
     if (h is not None and h != ph) or (w is not None and w != pw):
         raise ValueError(f"PNG dims {(ph, pw)} disagree with row metadata {(h, w)}")
     raw = zlib.decompress(idat)
-    stride = 1 + channels * pw
-    prev = np.zeros(channels * pw, dtype=np.uint8)
-    rows = []
-    for i in range(ph):
-        line = raw[i * stride : (i + 1) * stride]
-        cur = np.frombuffer(line[1:], dtype=np.uint8).copy()
-        cur = _unfilter_scanline(line[0], cur, prev, channels)
-        prev = cur
-        rows.append(cur.reshape(pw, channels)[:, :3])
-    return np.stack(rows)
+    if interlace == 0:
+        block, _ = _unfilter_block(raw, 0, ph, pw, channels)
+        return np.ascontiguousarray(block[:, :, :3])
+    # Adam7: seven independently-filtered reduced images, scattered onto the
+    # full-resolution grid by the pass's (start, step) lattice
+    out = np.empty((ph, pw, channels), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pass_h = (ph - y0 + dy - 1) // dy
+        pass_w = (pw - x0 + dx - 1) // dx
+        if pass_h <= 0 or pass_w <= 0:
+            continue
+        block, offset = _unfilter_block(raw, offset, pass_h, pass_w, channels)
+        out[y0::dy, x0::dx] = block
+    return np.ascontiguousarray(out[:, :, :3])
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:

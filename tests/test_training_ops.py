@@ -327,6 +327,108 @@ class TestMultimodal:
             )
             np.testing.assert_array_equal(M.decode_png_rgb8(data), img, err_msg=f"filter {ftype}")
 
+    @staticmethod
+    def _forward_filter_block(block: np.ndarray, ftype: int, channels: int) -> bytes:
+        """Forward-apply one PNG filter over an independently-filtered block
+        (whole image or one Adam7 pass), as libpng would emit it. Written
+        from the spec, independent of the decoder's helpers."""
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = b""
+        prev = np.zeros(block.shape[1] * channels, dtype=np.int32)
+        for y in range(block.shape[0]):
+            cur = block[y].reshape(-1).astype(np.int32)
+            filt = np.empty_like(cur)
+            for i in range(len(cur)):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(int(a), int(b), int(c))}[ftype]
+                filt[i] = (cur[i] - pred) % 256
+            raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+            prev = cur
+        return raw
+
+    @classmethod
+    def _encode_adam7(cls, img: np.ndarray, ftype: int = 0) -> bytes:
+        """Independently-constructed Adam7 PNG: the seven reduced images are
+        extracted with the spec's lattice (start/step slicing straight from
+        PNG spec §8.2 — NOT the decoder's table) and each pass is filtered
+        on its own, so the decoder's per-pass predecessor reset is load-
+        bearing for any ftype != 0."""
+        import struct
+        import zlib
+
+        h, w, channels = img.shape
+        ctype = 2 if channels == 3 else 6
+        raw = b""
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            block = img[y0::dy, x0::dx]
+            if block.shape[0] == 0 or block.shape[1] == 0:
+                continue  # empty pass: no bytes at all
+            raw += cls._forward_filter_block(block, ftype, channels)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1))
+            + M._png_chunk(b"IDAT", zlib.compress(raw))
+            + M._png_chunk(b"IEND", b"")
+        )
+
+    def test_png_adam7_matches_noninterlaced_decode(self):
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+        got = M.decode_png_rgb8(self._encode_adam7(img))
+        np.testing.assert_array_equal(got, img)
+        np.testing.assert_array_equal(got, M.decode_png_rgb8(M.encode_png_rgb8(img)))
+
+    def test_png_adam7_all_filter_types_reset_per_pass(self):
+        rng = np.random.default_rng(37)
+        img = rng.integers(0, 256, (16, 11, 3), dtype=np.uint8)
+        for ftype in (0, 1, 2, 3, 4):
+            np.testing.assert_array_equal(
+                M.decode_png_rgb8(self._encode_adam7(img, ftype)), img, err_msg=f"filter {ftype}"
+            )
+
+    def test_png_adam7_small_images_with_empty_passes(self):
+        rng = np.random.default_rng(41)
+        for h, w in ((1, 1), (2, 3), (3, 2), (4, 4), (5, 7), (8, 8), (9, 1), (1, 9)):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            np.testing.assert_array_equal(
+                M.decode_png_rgb8(self._encode_adam7(img)), img, err_msg=f"{h}x{w}"
+            )
+
+    def test_png_adam7_rgba_drops_alpha(self):
+        rng = np.random.default_rng(43)
+        rgba = rng.integers(0, 256, (10, 6, 4), dtype=np.uint8)
+        np.testing.assert_array_equal(M.decode_png_rgb8(self._encode_adam7(rgba)), rgba[:, :, :3])
+
+    def test_png_adam7_truncated_stream_raises(self):
+        rng = np.random.default_rng(47)
+        img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+        import struct
+        import zlib
+
+        # drop the last pass's bytes: the stream inflates but is short
+        full = b""
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                               (0, 2, 2, 4), (1, 0, 2, 2)):
+            full += self._forward_filter_block(img[y0::dy, x0::dx], 0, 3)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 12, 8, 2, 0, 0, 1))
+            + M._png_chunk(b"IDAT", zlib.compress(full))
+            + M._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_png_rgb8(data)
+
     def test_wav_pcm16_roundtrip_and_features(self, spark):
         rate = 8000
         t = np.arange(rate, dtype=np.float64) / rate  # 1 s
