@@ -132,6 +132,15 @@ class SignatureStore:
     MAX_HOT_LIST = 50_000
 
     def __init__(self, root: str, bucket_cap: int | None = None):
+        import os
+
+        if os.path.exists(os.path.join(root, "store.json")):
+            raise ValueError(
+                f"{root} holds a BucketedSignatureStore (store.json manifest); "
+                "opening it as a plain SignatureStore would silently ignore the "
+                "committed state and re-bootstrap — reopen with "
+                "BucketedSignatureStore (jobs: --bucketed-store)."
+            )
         self.root = root
         self.signatures = SnapshotTable(f"{root}/signatures")
         self.bands = SnapshotTable(f"{root}/bands")
@@ -330,6 +339,15 @@ class BucketedSignatureStore:
         import hashlib
         import os
 
+        if os.path.exists(os.path.join(root, "signatures", "meta")) and not os.path.exists(
+            os.path.join(root, "store.json")
+        ):
+            raise ValueError(
+                f"{root} holds a plain SignatureStore (snapshot sub-tables); "
+                "opening it as a BucketedSignatureStore would silently ignore "
+                "the committed state and re-bootstrap — reopen with "
+                "SignatureStore (jobs: drop --bucketed-store)."
+            )
         self.root = root
         os.makedirs(root, exist_ok=True)
         digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
@@ -698,13 +716,20 @@ def incremental_dedup(
     method: str = "xxhash64",
     bucket_cap: int | None = None,
     commit: bool = True,
-    broadcast_fresh: bool = True,
+    broadcast_fresh: bool | None = None,
 ) -> DataFrame:
     """End-to-end store-backed step: dedup ``fresh`` against the store,
     commit the kept rows' signatures (one atomic snapshot per table), return
     the decisions DataFrame. An empty store registers the whole batch as
     'keep' (bootstrap). NOTE: decisions are materialized before the commit
-    (the commit itself re-executes the plan for the kept signatures)."""
+    (the commit itself re-executes the plan for the kept signatures).
+
+    ``broadcast_fresh=None`` (default) picks the join strategy the store's
+    layout is built for: broadcast probes for the plain SignatureStore,
+    shuffle joins (which its bucket files serve exchange-free) for
+    BucketedSignatureStore. Pass an explicit bool to override."""
+    if broadcast_fresh is None:
+        broadcast_fresh = not isinstance(store, BucketedSignatureStore)
     spark = fresh.sparkSession
     sig_params = {"n_hashes": n_hashes, "bands": bands, "shingle_n": shingle_n, "method": method}
     if store.is_empty():
@@ -804,11 +829,13 @@ def ingest_batch(
     batch_id: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_fresh: bool = True,
+    broadcast_fresh: bool | None = None,
 ):
     """One incremental-ingest step. Returns (survivors DataFrame or None,
     stage-count dict). ``corpus_table``/``store`` mutate only when there is
-    something to commit; an already-ingested ``batch_id`` short-circuits."""
+    something to commit; an already-ingested ``batch_id`` short-circuits.
+    ``broadcast_fresh`` defaults to the store layout's strategy (see
+    ``incremental_dedup``)."""
     from pyspark.sql import functions as F
 
     from dsm2dtm_spark.functions.text import quality_features

@@ -17,7 +17,17 @@ Per batch:
     spark-submit --py-files engine.zip jobs/ingest_snapshot.py \
         --input /path/to/fresh.parquet --corpus /path/to/corpus_table \
         --store /path/to/sigstore [--eval-set /path/to/eval.parquet] \
-        [--threshold 0.5] [--ngram 13] [--bucket-cap 20000] [--cores 32]
+        [--threshold 0.5] [--ngram 13] [--bucket-cap 20000] [--cores 32] \
+        [--bucketed-store]
+
+Store layout: the default SignatureStore + broadcast-fresh probes fits the
+common small-batch-vs-huge-store cadence (the store streams map-side, the
+batch broadcasts). ``--bucketed-store`` selects BucketedSignatureStore —
+hive-bucketed external tables + shuffle joins — for batches too big to
+broadcast; the stored side still reads with zero Exchange (the bucket
+files are the shuffle, paid once at append). The layout is fixed at store
+creation: reopening an existing store with the other flag fails fast (both
+classes detect the on-disk layout) rather than silently re-bootstrapping.
 
 Exactly-once-ish semantics: a batch id (md5 of the resolved input path,
 row count, AND an order-independent content digest — bit_xor of
@@ -101,7 +111,6 @@ def main():
         fresh,
         SnapshotTable(args.corpus),
         store_cls(args.store, bucket_cap=args.bucket_cap),
-        broadcast_fresh=not args.bucketed_store,
         eval_docs=eval_docs,
         threshold=args.threshold,
         ngram=args.ngram,

@@ -226,6 +226,24 @@ class TestBucketedStore:
             )
             assert "Bucketed: true" in jp._jdf.queryExecution().executedPlan().toString()
 
+    def test_layout_mismatch_fails_fast(self, spark, tmp_path):
+        """Reopening a store with the OTHER class must raise, not silently
+        re-bootstrap over the committed state (jobs: the --bucketed-store
+        flag is fixed at creation)."""
+        plain_root = str(tmp_path / "plainroot")
+        incremental_dedup(SignatureStore(plain_root), _df(spark, CORPUS), method="md5")
+        with pytest.raises(ValueError, match="plain SignatureStore"):
+            BucketedSignatureStore(plain_root)
+        bucket_root = str(tmp_path / "bucketroot")
+        incremental_dedup(
+            BucketedSignatureStore(bucket_root, n_buckets=4),
+            _df(spark, CORPUS),
+            method="md5",
+            broadcast_fresh=False,
+        )
+        with pytest.raises(ValueError, match="BucketedSignatureStore"):
+            SignatureStore(bucket_root)
+
     def test_repair_high_watermark_with_bucketed_store(self, spark, tmp_path):
         from dsm2dtm_spark.operators.incremental import ingest_batch, repair_store
         from dsm2dtm_spark.sources.manifest import SnapshotTable
