@@ -736,6 +736,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_incremental_dedup"] = docs_incremental_dedup
 
+    def docs_incremental_dedup_bucketed(spark, sf):
+        # the SAME scenario, but the committed state lives in a real
+        # hive-bucketed BucketedSignatureStore (EXTERNAL tables under a
+        # temp root, signatures bucketed by fingerprint, bands by
+        # (band, bucket)) and the batch dedups via the shuffle path
+        # (broadcast_fresh=False) — the layout those bucket files serve
+        # with zero stored-side Exchange. Same oracle as
+        # docs_incremental_dedup: the driver certifies the bucketed
+        # layout computes the identical decisions.
+        import tempfile
+
+        from dsm2dtm_spark.operators.incremental import (
+            BucketedSignatureStore,
+            dedup_against,
+            sign_documents,
+        )
+
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        fresh = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+        store = BucketedSignatureStore(tempfile.mkdtemp(prefix="q_bstore_"), n_buckets=16)
+        store.append(
+            sign_documents(corpus, method="md5"),
+            summary={"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}},
+        )
+        decisions, _ = dedup_against(
+            fresh,
+            store.read_signatures(spark),
+            store.read_bands(spark),
+            method="md5",
+            threshold=0.75,
+            broadcast_fresh=False,
+        )
+        return decisions.select("doc_id", "verdict")
+
+    q["docs_incremental_dedup_bucketed"] = docs_incremental_dedup_bucketed
+
     def docs_decontam(spark, sf):
         # benchmark decontamination: every 7th doc plays the eval set; flag
         # training docs sharing any complete word 13-gram with it. String
@@ -1499,6 +1540,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'keep' AS verdict FROM remaining
         WHERE doc_id NOT IN (SELECT doc_id FROM near)
     """
+
+    # the bucketed-store twin computes the identical decisions — one SQL
+    # replay certifies both physical layouts
+    o["docs_incremental_dedup_bucketed"] = o["docs_incremental_dedup"]
 
     o["docs_decontam"] = """
         WITH toks AS (
