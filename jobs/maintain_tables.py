@@ -1,0 +1,127 @@
+"""spark-submit job: table + dedup-store MAINTENANCE — the periodic
+compaction/expiry pass every long-lived ingest loop needs.
+
+A year of daily `ingest_snapshot` batches leaves each snapshot table with
+hundreds of small files (every commit appends a few) and as many snapshot
+manifests; scan time degrades into footer-listing, and the dedup store's
+bucketed SMJ loses its sorted-within-bucket fast path. This job folds all
+of it in one sequential pass:
+
+    zip -qr engine.zip dsm2dtm_spark
+    spark-submit --py-files engine.zip jobs/maintain_tables.py \
+        [--table /path/to/snapshot_table]... \
+        [--store /path/to/sigstore [--bucketed-store]] \
+        [--small-file-mb 32] [--target-file-mb 128] \
+        [--expire-keep-last 3] [--cores 32]
+
+- each `--table` (repeatable): `SnapshotTable.compact` (small files fold
+  into ~target-sized ones as ONE atomic snapshot), then
+  `expire_snapshots(keep_last)` — old manifests drop and unreferenced
+  data files (crashed-write orphans included) are deleted;
+- `--store`: the matching store class's `compact()` — the plain store
+  folds its three sub-tables (bands clustered by bucket for sharp footer
+  min/max) and rolls up the hot-bucket census; the bucketed store
+  rewrites each sub-table into the next versioned location (one sorted
+  file per bucket — restoring the exchange-free SMJ's sort-free read),
+  swaps the catalog entry + manifest pointer, and sweeps old/orphan
+  version directories. Store layout is auto-guarded: opening with the
+  wrong flag fails fast rather than touching anything.
+
+Safe to run between ingests (single-writer discipline, same as the ingest
+job itself); every compaction is an atomic commit, so a crash mid-pass
+leaves every table readable at its previous snapshot. Emits one JSON line
+of per-target counts for the operator's logs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def run_maintenance(
+    spark,
+    tables: list[str],
+    store_root: str | None = None,
+    bucketed: bool = False,
+    small_file_mb: int = 32,
+    target_file_mb: int = 128,
+    expire_keep_last: int = 3,
+) -> dict:
+    """Compact each snapshot table (then expire old snapshots) and the
+    dedup store, sequentially. Returns the per-target count report the CLI
+    prints. ``expire_keep_last=0`` disables expiry — keep > 1 normally so
+    readers pinned to the pre-compaction snapshot keep working."""
+    from dsm2dtm_spark.operators.incremental import BucketedSignatureStore, SignatureStore
+    from dsm2dtm_spark.sources import SnapshotTable
+
+    report: dict = {"tables": {}, "store": None}
+    for root in tables:
+        t = SnapshotTable(root)
+        snap = t.compact(
+            spark,
+            small_file_bytes=small_file_mb << 20,
+            target_file_bytes=target_file_mb << 20,
+        )
+        expired = t.expire_snapshots(expire_keep_last) if expire_keep_last else []
+        report["tables"][root] = {
+            "compacted": (snap.summary.get("compacted", 0) if snap else 0),
+            "expired_files": len(expired),
+        }
+    if store_root:
+        store_cls = BucketedSignatureStore if bucketed else SignatureStore
+        store = store_cls(store_root)
+        kwargs = (
+            {}
+            if bucketed
+            else {
+                "small_file_bytes": small_file_mb << 20,
+                "target_file_bytes": target_file_mb << 20,
+            }
+        )
+        report["store"] = store.compact(spark, **kwargs)
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Compact + expire snapshot tables and dedup stores")
+    ap.add_argument(
+        "--table", action="append", default=[], help="snapshot-table root (repeatable)"
+    )
+    ap.add_argument("--store", default=None, help="SignatureStore root")
+    ap.add_argument(
+        "--bucketed-store",
+        action="store_true",
+        help="the --store root holds a BucketedSignatureStore layout",
+    )
+    ap.add_argument("--small-file-mb", type=int, default=32)
+    ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument(
+        "--expire-keep-last",
+        type=int,
+        default=3,
+        help="snapshots to keep per table after compaction (0 disables expiry)",
+    )
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+    if not args.table and not args.store:
+        ap.error("nothing to do: pass --table and/or --store")
+
+    from dsm2dtm_spark.session import get_spark
+
+    spark = get_spark("maintain-tables", cores=args.cores)
+    report = run_maintenance(
+        spark,
+        args.table,
+        store_root=args.store,
+        bucketed=args.bucketed_store,
+        small_file_mb=args.small_file_mb,
+        target_file_mb=args.target_file_mb,
+        expire_keep_last=args.expire_keep_last,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Maintenance job (jobs/maintain_tables.py): compaction + snapshot expiry
+over snapshot tables and both dedup-store layouts, and the post-maintenance
+resume/read invariants."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from maintain_tables import run_maintenance  # noqa: E402
+
+from dsm2dtm_spark.operators.incremental import (  # noqa: E402
+    BucketedSignatureStore,
+    SignatureStore,
+    incremental_dedup,
+)
+from dsm2dtm_spark.sources import SnapshotTable  # noqa: E402
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"wholly distinct document {i} about subject {i * 13}") for i in range(lo, hi)],
+            columns=["doc_id", "text"],
+        )
+    )
+
+
+class TestMaintainJob:
+    def test_compacts_and_expires_tables_and_plain_store(self, spark, tmp_path):
+        table_root = str(tmp_path / "corpus")
+        t = SnapshotTable(table_root)
+        for i in range(5):  # five small commits -> file pileup + 5 manifests
+            t.write_pandas(pd.DataFrame({"doc_id": [10 * i + j for j in range(3)], "v": [1] * 3}))
+        store = SignatureStore(str(tmp_path / "store"))
+        for i in range(3):
+            incremental_dedup(store, _docs(spark, 100 * i, 100 * i + 20), method="md5")
+        rows_before = t.read(spark).count()
+        sig_before = store.read_signatures(spark).count()
+
+        report = run_maintenance(
+            spark,
+            [table_root],
+            store_root=str(tmp_path / "store"),
+            small_file_mb=32,
+            target_file_mb=128,
+            expire_keep_last=1,  # only the compaction snapshot survives
+        )
+        assert report["tables"][table_root]["compacted"] >= 5
+        # the pre-compaction snapshots expired, so their files are orphans
+        assert report["tables"][table_root]["expired_files"] >= 5
+        assert report["store"]["signatures"] >= 3
+        # contents identical, history trimmed to the compaction commit
+        assert t.read(spark).count() == rows_before
+        assert len(t.snapshots()) == 1
+        assert store.read_signatures(spark).count() == sig_before
+
+    def test_bucketed_store_path_and_wrong_flag_guard(self, spark, tmp_path):
+        root = str(tmp_path / "bstore")
+        store = BucketedSignatureStore(root, n_buckets=4)
+        for i in range(3):
+            incremental_dedup(
+                store, _docs(spark, 100 * i, 100 * i + 15), method="md5", broadcast_fresh=False
+            )
+        before = store.read_signatures(spark).count()
+        v0 = store._location("signatures", 0)
+        report = run_maintenance(spark, [], store_root=root, bucketed=True)
+        # no bucket_cap configured -> no census table to roll up
+        assert report["store"] == {"signatures": 1, "bands": 1}
+        assert store.read_signatures(spark).count() == before
+        assert not os.path.exists(v0)  # version bumped, old dir swept
+        with pytest.raises(ValueError, match="BucketedSignatureStore"):
+            run_maintenance(spark, [], store_root=root, bucketed=False)
+
+    def test_expiry_disabled_keeps_history(self, spark, tmp_path):
+        table_root = str(tmp_path / "t")
+        t = SnapshotTable(table_root)
+        for i in range(3):
+            t.write_pandas(pd.DataFrame({"doc_id": [i], "v": [i]}))
+        report = run_maintenance(spark, [table_root], expire_keep_last=0)
+        assert report["tables"][table_root]["expired_files"] == 0
+        assert len(t.snapshots()) == 4  # 3 commits + the compaction commit
