@@ -745,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with zero stored-side Exchange. Same oracle as
         # docs_incremental_dedup: the driver certifies the bucketed
         # layout computes the identical decisions.
+        import hashlib
+        import shutil
         import tempfile
 
         from dsm2dtm_spark.operators.incremental import (
@@ -760,7 +762,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.col("doc_id") + 100000
             )
         )
-        store = BucketedSignatureStore(tempfile.mkdtemp(prefix="q_bstore_"), n_buckets=16)
+        # FIXED per-sf root, rebuilt at call start: the store must outlive
+        # the returned (lazy) DataFrame's execution, so cleanup cannot
+        # happen after return — instead each call tears down the previous
+        # call's store, capping the leak at one store per sf dir
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"q_bstore_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}",
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        store = BucketedSignatureStore(root, n_buckets=16)
+        spark.sql(f"DROP TABLE IF EXISTS {store.sig_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {store.bands_table}")
         store.append(
             sign_documents(corpus, method="md5"),
             summary={"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}},

@@ -191,6 +191,21 @@ class SignatureStore:
         if self.bucket_cap is not None:
             self._update_bucket_census(band_rows)
 
+    def band_row_count(self) -> int | None:
+        """Footer-metadata row count of the band table (the second repair
+        watermark: complete ⇔ bands == signatures × bands_per_doc)."""
+        return self.bands.row_count()
+
+    def append_band_rows(self, band_rows: DataFrame, summary: dict | None = None) -> None:
+        """Commit band rows WITHOUT signature rows — the repair path for
+        the crash window where the signatures commit landed but the bands
+        commit did not (``repair_store`` derives the rows from the STORED
+        signatures, so nothing is re-shingled and nothing duplicates)."""
+        band_rows = band_rows.localCheckpoint(eager=True)
+        self.bands.write_dataframe(band_rows, summary=summary)
+        if self.bucket_cap is not None:
+            self._update_bucket_census(band_rows)
+
     # ------------------------------------------------- hot-bucket census
 
     def _persisted_cap(self) -> int | None:
@@ -207,6 +222,7 @@ class SignatureStore:
         counts_new = counts_new.localCheckpoint(eager=True)  # feeds probe + totals + write
         prev = self.bucket_stats.current_snapshot()
         prev_hot = {tuple(h) for h in (prev.summary.get("hot") or [])} if prev else set()
+        prev_overflow = bool(prev.summary.get("hot_overflow")) if prev else False
         if prev is not None:
             spark = band_rows.sparkSession
             prior = self.bucket_stats.read(spark).join(
@@ -226,10 +242,14 @@ class SignatureStore:
         )
         hot = prev_hot | {(r.band, r.bucket) for r in crossed}
         summary: dict = {"bucket_cap": self.bucket_cap}
-        if len(hot) <= self.MAX_HOT_LIST:
-            summary["hot"] = sorted([list(h) for h in hot])
-        else:
+        if prev_overflow or len(hot) > self.MAX_HOT_LIST:
+            # overflow is sticky: counts only grow, so a bucket never cools
+            # — once the list is census-backed it must STAY census-backed
+            # (a later small 'hot' would silently drop the flood guard for
+            # every bucket this batch didn't touch)
             summary["hot_overflow"] = True  # reader falls back to the census
+        else:
+            summary["hot"] = sorted([list(h) for h in hot])
         self.bucket_stats.write_dataframe(counts_new, summary=summary)
 
     def hot_buckets(self, spark, bucket_cap: int | None) -> DataFrame | None:
@@ -264,6 +284,23 @@ class SignatureStore:
         high-watermark; zero data scan)."""
         return self.signatures.row_count()
 
+    def _rollup_census(self, spark) -> int:
+        """Fold per-append census partials into one row per (band, bucket),
+        carrying the cap/hot-list summary keys — the append-time probe then
+        reads pre-summed rows. Returns the pre-rollup file count (0 = no-op).
+        Shared by both store layouts' compact()."""
+        snap = self.bucket_stats.current_snapshot()
+        if snap is None or len(snap.files) <= 1:
+            return 0
+        rolled = (
+            self.bucket_stats.read(spark).groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+        )
+        carried = {
+            k: v for k, v in snap.summary.items() if k in ("bucket_cap", "hot", "hot_overflow")
+        }
+        self.bucket_stats.write_dataframe(rolled, operation="rollup", summary=carried)
+        return len(snap.files)
+
     def read_signatures(self, spark) -> DataFrame:
         return self.signatures.read(spark)
 
@@ -280,23 +317,7 @@ class SignatureStore:
         kwargs.pop("sort_by", None)  # bands' clustering key is fixed
         s = self.signatures.compact(spark, **kwargs)
         b = self.bands.compact(spark, sort_by=["bucket"], **kwargs)
-        n_stats = 0
-        snap = self.bucket_stats.current_snapshot()
-        if snap is not None and len(snap.files) > 1:
-            # census rollup: fold per-append partial counts into one row per
-            # (band, bucket) — the append-time probe then reads pre-summed
-            # rows; this is aggregation, not just file folding, so it lives
-            # here rather than in SnapshotTable.compact
-            rolled = (
-                self.bucket_stats.read(spark)
-                .groupBy("band", "bucket")
-                .agg(F.sum("n").alias("n"))
-            )
-            carried = {
-                k: v for k, v in snap.summary.items() if k in ("bucket_cap", "hot", "hot_overflow")
-            }
-            n_stats = len(snap.files)
-            self.bucket_stats.write_dataframe(rolled, operation="rollup", summary=carried)
+        n_stats = self._rollup_census(spark)
         return {
             "signatures": (s.summary.get("compacted", 0) if s else 0),
             "bands": (b.summary.get("compacted", 0) if b else 0),
@@ -404,6 +425,7 @@ class BucketedSignatureStore:
     check_params = SignatureStore.check_params
     _persisted_cap = SignatureStore._persisted_cap
     _update_bucket_census = SignatureStore._update_bucket_census
+    _rollup_census = SignatureStore._rollup_census
     hot_buckets = SignatureStore.hot_buckets
 
     def _table_name(self, kind: str) -> str:
@@ -480,6 +502,56 @@ class BucketedSignatureStore:
     def signature_row_count(self) -> int | None:
         return self._meta().get("rows") or None
 
+    def band_row_count(self) -> int | None:
+        """Footer-metadata row count of the band table (summed num_rows over
+        the current version directory — zero data pages read)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        entry = self._meta().get("tables", {}).get("bands")
+        if entry is None:
+            return None
+        loc = self._location("bands", entry["version"])
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(loc, "*.parquet"))
+        )
+
+    def append_band_rows(self, band_rows: DataFrame, summary: dict | None = None) -> None:
+        """Bands-only repair append (see SignatureStore.append_band_rows);
+        the manifest row watermark tracks signatures, so only the census
+        moves here."""
+        band_rows = band_rows.localCheckpoint(eager=True)
+        spark = band_rows.sparkSession
+        self._ensure_registered(spark)
+        cols = self._BUCKET_COLS["bands"]
+        (
+            band_rows.write.mode("append")
+            .bucketBy(self.n_buckets, *cols)
+            .sortBy(*cols)
+            .format("parquet")
+            .saveAsTable(self.bands_table)
+        )
+        if self.bucket_cap is not None:
+            self._update_bucket_census(band_rows)
+
+    def sync_row_watermark(self, spark) -> int:
+        """Correct a stale-low manifest row count — the crash window between
+        the table appends and the manifest write — from the table's actual
+        (footer-cheap) count, so the repair high-watermark happy path comes
+        back instead of anti-joining forever. Called by ``repair_store``
+        when a count mismatch turned up nothing missing."""
+        meta = self._meta()
+        if "signatures" not in meta.get("tables", {}):
+            return 0
+        n = self.read_signatures(spark).count()
+        if n and meta.get("rows") != n:
+            meta["rows"] = n
+            self._write_meta(meta)
+        return n
+
     def compact(self, spark, **kwargs) -> dict:
         """Fold the many small per-append bucket files into one file per
         bucket (rewrite into the NEXT versioned location with the same
@@ -494,6 +566,11 @@ class BucketedSignatureStore:
         self._ensure_registered(spark)
         out = {}
         meta = self._meta()
+        if not meta.get("tables"):
+            # empty store (or a mistyped --store path): a maintenance pass
+            # must be a no-op — writing an empty manifest here would
+            # permanently mark the root as bucketed-layout
+            return {"signatures": 0, "bands": 0}
         for kind, cols in self._BUCKET_COLS.items():
             name = self._table_name(kind)
             entry = meta.get("tables", {}).get(kind)
@@ -526,16 +603,9 @@ class BucketedSignatureStore:
             for d in glob.glob(self._location(kind, 0)[:-1] + "*"):
                 if d != current:
                     shutil.rmtree(d, ignore_errors=True)
-        snap = self.bucket_stats.current_snapshot()
-        if snap is not None and len(snap.files) > 1:
-            rolled = (
-                self.bucket_stats.read(spark).groupBy("band", "bucket").agg(F.sum("n").alias("n"))
-            )
-            carried = {
-                k: v for k, v in snap.summary.items() if k in ("bucket_cap", "hot", "hot_overflow")
-            }
-            self.bucket_stats.write_dataframe(rolled, operation="rollup", summary=carried)
-            out["bucket_stats"] = len(snap.files)
+        n_stats = self._rollup_census(spark)
+        if n_stats:
+            out["bucket_stats"] = n_stats
         return out
 
 
@@ -599,12 +669,22 @@ def dedup_against(
     to broadcast — pair it with a fingerprint-bucketed store
     (``BucketedSignatureStore``) so the stored side still reads shuffle-free.
 
+    ``broadcast_fresh`` must be a real bool here — ``dedup_against`` has no
+    store object to resolve a layout default from; the store-aware wrappers
+    (``incremental_dedup``/``ingest_batch``) resolve ``None`` before calling.
+
     ``bucket_cap`` drops stored buckets larger than the cap from candidate
     generation (broadcast anti-join) — the boilerplate-flood guard, same
     degraded-recall trade as minhash_lsh_candidates. ``hot_buckets``
     (a (band, bucket) DataFrame, e.g. the census a SignatureStore maintains
     at append time) supplies that list precomputed, skipping the full
     per-batch groupBy census over the stored band table."""
+    if broadcast_fresh is None:
+        raise TypeError(
+            "dedup_against needs an explicit broadcast_fresh bool; the "
+            "store-aware wrappers (incremental_dedup/ingest_batch) resolve "
+            "None from the store layout before calling"
+        )
     fresh_fp = fresh.select(F.col(id_col), F.col(text_col)).withColumn(
         "fingerprint", F.md5(F.col(text_col))
     )
@@ -772,17 +852,21 @@ def repair_store(
     method: str = "xxhash64",
 ) -> int:
     """Re-sign corpus rows that have no signature in the store (the
-    crash-between-commits window, or a store lost to operator error).
+    crash-between-commits window, or a store lost to operator error), and
+    re-derive band rows for signatures whose bands commit crashed (the
+    window INSIDE ``store.append``, between its two table writes).
 
-    Happy path (VERDICT r4 #5): corpus rows == signature rows read from
-    parquet FOOTER metadata (``SnapshotTable.row_count``) — two O(#files)
-    metadata sums, no scan, no anti-join. The equality is sufficient because
-    the single-writer ingest protocol keeps store ids a subset of corpus ids
-    with no duplicates (signatures commit strictly AFTER their corpus rows;
-    repair itself only appends rows proven missing). Only on a count
-    mismatch does the anti-join run: corpus ids anti-join store ids — two
-    narrow scans — then ``sign_documents`` over ONLY the missing rows.
-    Returns how many rows were repaired."""
+    Happy path (VERDICT r4 #5): corpus rows == signature rows AND band rows
+    == signature rows × bands, all read from parquet FOOTER metadata —
+    O(#files) metadata sums, no scan, no anti-join. The equalities are
+    sufficient because the single-writer ingest protocol keeps store ids a
+    subset of corpus ids with no duplicates (signatures commit strictly
+    AFTER their corpus rows, bands after signatures; repair itself only
+    appends rows proven missing). Only on a count mismatch do the anti-joins
+    run — narrow id scans — then ``sign_documents`` over ONLY the unsigned
+    rows, and ``band_buckets`` over ONLY the stored signatures missing band
+    rows (nothing is re-shingled for the bands heal). Returns how many
+    documents were repaired (re-signed + bands-restored)."""
     from dsm2dtm_spark.operators.incremental import sign_documents
 
     if corpus_table.current_snapshot() is None:
@@ -796,9 +880,12 @@ def repair_store(
         except Exception:  # noqa: BLE001 — footer stats are an optimization only
             n_corpus = n_sigs = None
         if n_corpus is not None and n_corpus == n_sigs:
-            # high-watermark hit BEFORE any DataFrame is even built: the
-            # happy path is two footer-metadata sums and zero Spark jobs
-            return 0
+            # signature high-watermark hit BEFORE any DataFrame is even
+            # built — but the bands commit lands AFTER signatures, so THIS
+            # is exactly the state a crash inside store.append leaves;
+            # the bands watermark (also footer-only on ITS happy path)
+            # still runs
+            return _repair_bands(spark, store, bands=bands, id_col=id_col)
         sig_ids = store.read_signatures(spark).select(id_col)
         missing = corpus_table.read(spark).join(sig_ids, on=id_col, how="left_anti")
     missing = missing.localCheckpoint(eager=False)
@@ -809,6 +896,41 @@ def repair_store(
             "op": "repair",
             "sig_params": {"n_hashes": n_hashes, "bands": bands, "shingle_n": 3, "method": method},
         })
+    elif hasattr(store, "sync_row_watermark") and not store.is_empty():
+        # count mismatch but nothing missing: the store's row watermark is
+        # stale-low (manifest-write crash window) — heal it here or every
+        # future repair runs this anti-join again
+        store.sync_row_watermark(spark)
+    return n + _repair_bands(spark, store, bands=bands, id_col=id_col)
+
+
+def _repair_bands(spark, store, bands: int, id_col: str = "doc_id") -> int:
+    """Bands-completeness half of ``repair_store``: signatures whose bands
+    commit crashed get their band rows re-derived from the STORED signature
+    arrays (no text, no shingling) and appended bands-only. Watermark:
+    band rows == signature rows × bands, footer metadata on both sides —
+    zero Spark jobs unless a crash actually happened."""
+    if store.is_empty():
+        return 0
+    try:
+        n_sigs, n_bands = store.signature_row_count(), store.band_row_count()
+    except Exception:  # noqa: BLE001 — footer stats are an optimization only
+        n_sigs = n_bands = None
+    if n_sigs is not None and n_bands == n_sigs * bands:
+        return 0
+    sigs = store.read_signatures(spark)
+    if n_bands:
+        band_ids = store.read_bands(spark).select(id_col).distinct()
+        unbanded = sigs.join(band_ids, on=id_col, how="left_anti")
+    else:
+        unbanded = sigs  # bands table never committed: everything is unbanded
+    unbanded = unbanded.localCheckpoint(eager=False)
+    n = unbanded.count()
+    if n:
+        store.append_band_rows(
+            band_buckets(unbanded, id_col=id_col, bands=bands),
+            summary={"op": "repair-bands"},
+        )
     return n
 
 
@@ -842,6 +964,8 @@ def ingest_batch(
     from dsm2dtm_spark.operators.dedup import exact_dedup
     from dsm2dtm_spark.operators.decontam import decontaminate
 
+    if broadcast_fresh is None:
+        broadcast_fresh = not isinstance(store, BucketedSignatureStore)
     # self-heal BEFORE the batch guard: a crash between the corpus and store
     # commits left rows committed-but-unsigned, and the guard would
     # otherwise short-circuit past them forever

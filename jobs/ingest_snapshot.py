@@ -35,7 +35,12 @@ xxhash64(text, doc_id) — so a new snapshot re-landing at the same path
 with a coincidentally equal row count can never collide into a silent
 skip) is recorded in the corpus commit summary; re-running the SAME batch
 against the same corpus is a no-op (the guard catches it before any
-signing, and the skip decision is printed with the colliding id). Both
+signing, and the skip decision is printed with the colliding id).
+MIGRATION NOTE: the id formula changed in r5 (content digest folded in),
+so batches recorded under the old path+count formula no longer
+short-circuit — a one-time re-run of an old batch re-executes the
+pipeline but commits nothing (every row drops as an exact dup; an
+'ingest-empty' marker commit records the new id). Both
 commits are atomic snapshot-manifest operations, corpus first, store
 second. A crash between them leaves rows committed but unsigned — every
 run opens with a REPAIR step: a footer-metadata high-watermark check

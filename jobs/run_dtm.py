@@ -21,15 +21,18 @@ def check_resume_mode(out, mode: str) -> None:
     """Fail fast when a resume flips --tiled: the two branches commit
     different lineage columns (n_tiles/compute_ms vs phash/valid_*/wall_ms),
     so mixing them in one table breaks the snapshot read's schema union.
-    The comparison scans back to the most recent DTM commit rather than
-    just the head: a maintenance operation (e.g. compact's op='compact')
-    on top must not make a legitimate same-mode resume abort."""
+    The comparison scans back past MAINTENANCE commits (compaction/rollup
+    don't set a summary 'op', or set 'compact') so they can't make a
+    legitimate same-mode resume abort — but the first DATA commit found
+    decides: a foreign op there (another job's table, e.g. 'ingest' or
+    'stream-dtm') must still fail fast, exactly as before."""
     prev = None
     for snap in reversed(out.snapshots()):
         op = (snap.summary or {}).get("op")
-        if op in ("dtm", "dtm-tiled"):
-            prev = op
-            break
+        if op is None or op == "compact":
+            continue  # maintenance commit — keep scanning
+        prev = op
+        break
     if prev and prev != mode:
         raise SystemExit(
             f"output table {out.root} was written with mode {prev!r}; "

@@ -226,6 +226,59 @@ class TestBucketedStore:
             )
             assert "Bucketed: true" in jp._jdf.queryExecution().executedPlan().toString()
 
+    def test_default_join_strategy_resolves_from_store_layout(self, spark, tmp_path, monkeypatch):
+        """broadcast_fresh=None (the default everywhere above dedup_against)
+        must resolve to the layout's strategy — probes for the plain store,
+        shuffle for the bucketed one — in BOTH wrappers; dedup_against
+        itself rejects None (it has no store to resolve from)."""
+        import dsm2dtm_spark.operators.incremental as inc
+        from dsm2dtm_spark.operators.incremental import ingest_batch
+        from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+        captured = {}
+        real = inc.dedup_against
+
+        def spy(*a, **k):
+            captured["bf"] = k.get("broadcast_fresh")
+            return real(*a, **k)
+
+        monkeypatch.setattr(inc, "dedup_against", spy)
+        plain = SignatureStore(str(tmp_path / "p"))
+        incremental_dedup(plain, _df(spark, CORPUS), method="md5")
+        incremental_dedup(plain, _df(spark, FRESH), method="md5")
+        assert captured.pop("bf") is True
+        bucketed = BucketedSignatureStore(str(tmp_path / "b"), n_buckets=4)
+        incremental_dedup(bucketed, _df(spark, CORPUS), method="md5")
+        incremental_dedup(bucketed, _df(spark, FRESH), method="md5")
+        assert captured.pop("bf") is False
+        # the production wrapper (jobs/ingest_snapshot.py passes nothing)
+        ingest_batch(
+            spark,
+            _df(spark, [(500, "some new ingest-path doc about canals")]),
+            SnapshotTable(str(tmp_path / "c1")),
+            plain,
+            method="md5",
+            batch_id="x1",
+        )
+        assert captured.pop("bf") is True
+        ingest_batch(
+            spark,
+            _df(spark, [(501, "another new ingest-path doc about weirs")]),
+            SnapshotTable(str(tmp_path / "c2")),
+            bucketed,
+            method="md5",
+            batch_id="x2",
+        )
+        assert captured.pop("bf") is False
+        with pytest.raises(TypeError, match="explicit broadcast_fresh"):
+            real(
+                _df(spark, FRESH),
+                plain.read_signatures(spark),
+                plain.read_bands(spark),
+                method="md5",
+                broadcast_fresh=None,
+            )
+
     def test_layout_mismatch_fails_fast(self, spark, tmp_path):
         """Reopening a store with the OTHER class must raise, not silently
         re-bootstrap over the committed state (jobs: the --bucketed-store
@@ -243,6 +296,34 @@ class TestBucketedStore:
         )
         with pytest.raises(ValueError, match="BucketedSignatureStore"):
             SignatureStore(bucket_root)
+
+    def test_repair_heals_stale_watermark(self, spark, tmp_path):
+        """Crash window: tables appended but the manifest write was lost —
+        the row watermark is stale-low. The repair anti-join finds nothing
+        missing and must then SYNC the watermark, or every future ingest
+        re-runs the O(corpus) anti-join forever (r5 review finding)."""
+        import json
+
+        from dsm2dtm_spark.operators.incremental import ingest_batch, repair_store
+        from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = BucketedSignatureStore(str(tmp_path / "store"), n_buckets=4)
+        batch = _df(spark, [(i, f"doc {i} about dams and spillways number {i}") for i in range(6)])
+        ingest_batch(spark, batch, corpus, store, batch_id="b1")
+        # simulate the lost manifest write: rows stale-low by 2
+        meta = json.load(open(store._meta_path()))
+        meta["rows"] -= 2
+        json.dump(meta, open(store._meta_path(), "w"))
+        assert repair_store(spark, corpus, store) == 0  # nothing truly missing
+        assert store.signature_row_count() == 6  # watermark healed
+        # and the NEXT repair is the zero-job happy path again
+        sc = spark.sparkContext
+        sc.setJobGroup("repair-after-heal", "happy path")
+        assert repair_store(spark, corpus, store) == 0
+        ids = sc.statusTracker().getJobIdsForGroup("repair-after-heal")
+        sc.setJobGroup(None, None)
+        assert list(ids) == []
 
     def test_repair_high_watermark_with_bucketed_store(self, spark, tmp_path):
         from dsm2dtm_spark.operators.incremental import ingest_batch, repair_store

@@ -147,9 +147,17 @@ class TestResumeModeGuard:
         check_resume_mode(out, "dtm")  # same mode resumes
         with pytest.raises(SystemExit, match="mix incompatible lineage"):
             check_resume_mode(out, "dtm-tiled")
-        # a maintenance commit on top (op='compact') must not mask the real
-        # mode: same-mode resume still passes, flipped mode still fails
+        # a maintenance commit on top (op='compact', or no op at all) must
+        # not mask the real mode: same-mode resume still passes, flipped
+        # mode still fails
         out.write_pandas(pd.DataFrame({"image_id": ["b"]}), summary={"op": "compact"})
+        out.write_pandas(pd.DataFrame({"image_id": ["c"]}), summary={"compacted": 2})
         check_resume_mode(out, "dtm")
         with pytest.raises(SystemExit, match="mix incompatible lineage"):
             check_resume_mode(out, "dtm-tiled")
+        # but a FOREIGN data op (another job's table) is still rejected —
+        # scanning past maintenance must not scan past real lineage
+        foreign = SnapshotTable(str(tmp_path / "foreign"))
+        foreign.write_pandas(pd.DataFrame({"doc_id": [1]}), summary={"op": "ingest"})
+        with pytest.raises(SystemExit, match="mix incompatible lineage"):
+            check_resume_mode(foreign, "dtm")

@@ -191,6 +191,74 @@ class TestStoreCensusAndRepair:
         out = incremental_dedup(store, fresh, method="md5", bucket_cap=3, commit=False)
         assert [r.verdict for r in out.collect()] == ["keep"]
 
+    def test_hot_overflow_is_sticky_across_appends(self, spark, tmp_path, monkeypatch):
+        """Once the hot list overflows MAX_HOT_LIST, later appends must keep
+        the census-backed overflow flag: a small crossed-set on the next
+        batch must not shrink the persisted list and silently drop the
+        flood guard for untouched buckets (r5 review finding)."""
+        monkeypatch.setattr(SignatureStore, "MAX_HOT_LIST", 2)
+        store = SignatureStore(str(tmp_path / "ovf"), bucket_cap=1)
+        # 3 copies of one text -> its 4 band buckets all cross cap=1 ->
+        # 4 hot pairs > MAX_HOT_LIST=2 -> overflow commit
+        flood = [(i, "identical flood text shared by all copies") for i in range(3)]
+        incremental_dedup(store, _df(spark, flood), method="md5", bucket_cap=1)
+        snap1 = store.bucket_stats.current_snapshot()
+        assert snap1.summary.get("hot_overflow") is True and "hot" not in snap1.summary
+        # next batch: unique docs, nothing newly hot — the flag must persist
+        quiet = [(100 + i, f"wholly unique document number {i} about topic {i}") for i in range(3)]
+        incremental_dedup(store, _df(spark, quiet), method="md5", bucket_cap=1)
+        snap2 = store.bucket_stats.current_snapshot()
+        assert snap2.summary.get("hot_overflow") is True and "hot" not in snap2.summary
+        # reader falls back to the census and still sees all 4 flood buckets
+        # (the buggy behavior returned ONLY buckets the second batch touched)
+        hot = {(r.band, r.bucket) for r in store.hot_buckets(spark, 1).collect()}
+        flood_pairs = {
+            (r.band, r.bucket)
+            for r in store.read_bands(spark).filter("doc_id < 3").select("band", "bucket").collect()
+        }
+        assert len(flood_pairs) == 4 and flood_pairs <= hot
+
+    def test_repair_restores_missing_band_rows(self, spark, tmp_path):
+        """The OTHER half of the crash window: signatures committed but the
+        bands commit crashed (inside store.append). The corpus==signatures
+        watermark passes, so repair must ALSO check bands == signatures ×
+        bands_per_doc and re-derive the missing band rows from the STORED
+        signatures — no re-shingling, no duplicates (r5 review finding)."""
+        from dsm2dtm_spark.operators.incremental import repair_store
+        from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = SignatureStore(str(tmp_path / "store"))
+        docs = _df(spark, [(i, f"document {i} on levees and culverts number {i}") for i in range(4)])
+        corpus.write_pandas(docs.toPandas())
+        # simulate the crash: signatures land, bands never do
+        sigs = sign_documents(docs, method="md5")
+        store.signatures.write_dataframe(
+            sigs,
+            summary={"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}},
+        )
+        assert store.band_row_count() is None
+        assert repair_store(spark, corpus, store, method="md5") == 4
+        assert store.band_row_count() == 4 * 4
+        # the healed bands equal a from-scratch derivation — and a near-dup
+        # of a crashed-batch doc is now caught through the LSH path
+        want = {
+            (r.doc_id, r.band, r.bucket)
+            for r in band_buckets(sign_documents(docs, method="md5")).collect()
+        }
+        got = {(r.doc_id, r.band, r.bucket) for r in store.read_bands(spark).collect()}
+        assert got == want
+        near = _df(spark, [(99, "document 2 on levees and culverts number 3")])
+        out = incremental_dedup(store, near, method="md5", commit=False)
+        assert [r.verdict for r in out.collect()] == ["near"]
+        # and the happy path is quiet again: zero Spark jobs
+        sc = spark.sparkContext
+        sc.setJobGroup("repair-bands-happy", "happy path")
+        assert repair_store(spark, corpus, store, method="md5") == 0
+        ids = sc.statusTracker().getJobIdsForGroup("repair-bands-happy")
+        sc.setJobGroup(None, None)
+        assert list(ids) == []
+
     def test_census_accumulates_across_appends(self, spark, tmp_path):
         # a bucket that crosses the cap only CUMULATIVELY (3 rows, then 3
         # more via direct append) must turn hot — partial counts sum across

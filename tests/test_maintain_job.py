@@ -77,6 +77,17 @@ class TestMaintainJob:
         with pytest.raises(ValueError, match="BucketedSignatureStore"):
             run_maintenance(spark, [], store_root=root, bucketed=False)
 
+    def test_empty_or_mistyped_store_root_is_a_noop(self, spark, tmp_path):
+        """Maintenance on an empty --store path must not write a manifest:
+        an empty store.json would permanently mark the root as
+        bucketed-layout and break a later correct plain-store open
+        (r5 review finding)."""
+        root = str(tmp_path / "typo_sigstore")
+        report = run_maintenance(spark, [], store_root=root, bucketed=True)
+        assert report["store"] == {"signatures": 0, "bands": 0}
+        assert not os.path.exists(os.path.join(root, "store.json"))
+        SignatureStore(root)  # still opens as a plain store
+
     def test_expiry_disabled_keeps_history(self, spark, tmp_path):
         table_root = str(tmp_path / "t")
         t = SnapshotTable(table_root)
