@@ -130,6 +130,9 @@ class SignatureStore:
     # pathological (the cap is meant to catch a few flood buckets) — the
     # reader then falls back to the census rather than bloating metadata
     MAX_HOT_LIST = 50_000
+    # the dedup_against join strategy this layout is built for (resolved by
+    # the store-aware wrappers when the caller passes broadcast_fresh=None)
+    BROADCAST_FRESH_DEFAULT = True
 
     def __init__(self, root: str, bucket_cap: int | None = None):
         import os
@@ -223,6 +226,14 @@ class SignatureStore:
         prev = self.bucket_stats.current_snapshot()
         prev_hot = {tuple(h) for h in (prev.summary.get("hot") or [])} if prev else set()
         prev_overflow = bool(prev.summary.get("hot_overflow")) if prev else False
+        if prev_overflow:
+            # census-backed already (and sticky): the per-batch crossing
+            # probe would only rebuild a list nobody reads — just commit
+            # the new partial counts
+            self.bucket_stats.write_dataframe(
+                counts_new, summary={"bucket_cap": self.bucket_cap, "hot_overflow": True}
+            )
+            return
         if prev is not None:
             spark = band_rows.sparkSession
             prior = self.bucket_stats.read(spark).join(
@@ -354,13 +365,20 @@ class BucketedSignatureStore:
     version directory is swept by the next compact."""
 
     MAX_HOT_LIST = SignatureStore.MAX_HOT_LIST
+    # the bucket files serve shuffle joins exchange-free; broadcast probes
+    # would waste the layout
+    BROADCAST_FRESH_DEFAULT = False
     _BUCKET_COLS = {"signatures": ["fingerprint"], "bands": ["band", "bucket"]}
 
     def __init__(self, root: str, bucket_cap: int | None = None, n_buckets: int = 16):
         import hashlib
         import os
 
-        if os.path.exists(os.path.join(root, "signatures", "meta")) and not os.path.exists(
+        # key on a COMMITTED marker (meta/CURRENT), not the bare directory:
+        # merely opening a root with the plain class scaffolds empty
+        # signatures/meta dirs, and that must not brick the root for the
+        # bucketed layout (r5 review finding)
+        if os.path.exists(os.path.join(root, "signatures", "meta", "CURRENT")) and not os.path.exists(
             os.path.join(root, "store.json")
         ):
             raise ValueError(
@@ -809,7 +827,7 @@ def incremental_dedup(
     shuffle joins (which its bucket files serve exchange-free) for
     BucketedSignatureStore. Pass an explicit bool to override."""
     if broadcast_fresh is None:
-        broadcast_fresh = not isinstance(store, BucketedSignatureStore)
+        broadcast_fresh = getattr(store, "BROADCAST_FRESH_DEFAULT", True)
     spark = fresh.sparkSession
     sig_params = {"n_hashes": n_hashes, "bands": bands, "shingle_n": shingle_n, "method": method}
     if store.is_empty():
@@ -885,7 +903,7 @@ def repair_store(
             # is exactly the state a crash inside store.append leaves;
             # the bands watermark (also footer-only on ITS happy path)
             # still runs
-            return _repair_bands(spark, store, bands=bands, id_col=id_col)
+            return _repair_bands(spark, store, bands=bands, id_col=id_col, n_sigs=n_sigs)
         sig_ids = store.read_signatures(spark).select(id_col)
         missing = corpus_table.read(spark).join(sig_ids, on=id_col, how="left_anti")
     missing = missing.localCheckpoint(eager=False)
@@ -904,34 +922,41 @@ def repair_store(
     return n + _repair_bands(spark, store, bands=bands, id_col=id_col)
 
 
-def _repair_bands(spark, store, bands: int, id_col: str = "doc_id") -> int:
+def _repair_bands(spark, store, bands: int, id_col: str = "doc_id", n_sigs: int | None = None) -> int:
     """Bands-completeness half of ``repair_store``: signatures whose bands
-    commit crashed get their band rows re-derived from the STORED signature
-    arrays (no text, no shingling) and appended bands-only. Watermark:
-    band rows == signature rows × bands, footer metadata on both sides —
-    zero Spark jobs unless a crash actually happened."""
+    commit crashed (wholly or — after a torn bucketed append — partially)
+    get the missing band rows re-derived from the STORED signature arrays
+    (no text, no shingling) and appended bands-only, de-duplicated per
+    (id, band) so partially-banded documents heal without double rows.
+    Watermark: band rows == signature rows × bands, footer metadata on
+    both sides — zero Spark jobs unless a crash actually happened.
+    ``n_sigs`` lets the caller pass the footer sum it already computed.
+    An unreadable footer falls back to the precise per-(id, band)
+    anti-join, never to a bulk append (which would duplicate every
+    band row of a healthy store)."""
     if store.is_empty():
         return 0
     try:
-        n_sigs, n_bands = store.signature_row_count(), store.band_row_count()
-    except Exception:  # noqa: BLE001 — footer stats are an optimization only
-        n_sigs = n_bands = None
-    if n_sigs is not None and n_bands == n_sigs * bands:
-        return 0
+        if n_sigs is None:
+            n_sigs = store.signature_row_count()
+        n_bands = store.band_row_count()
+        if n_sigs is not None and n_bands == n_sigs * bands:
+            return 0
+    except Exception:  # noqa: BLE001 — footers are an optimization only
+        pass  # fall through to the anti-join, the safe path
     sigs = store.read_signatures(spark)
-    if n_bands:
-        band_ids = store.read_bands(spark).select(id_col).distinct()
-        unbanded = sigs.join(band_ids, on=id_col, how="left_anti")
-    else:
-        unbanded = sigs  # bands table never committed: everything is unbanded
-    unbanded = unbanded.localCheckpoint(eager=False)
-    n = unbanded.count()
-    if n:
-        store.append_band_rows(
-            band_buckets(unbanded, id_col=id_col, bands=bands),
-            summary={"op": "repair-bands"},
-        )
-    return n
+    derived = band_buckets(sigs, id_col=id_col, bands=bands)
+    try:
+        existing = store.read_bands(spark).select(id_col, "band")
+        to_add = derived.join(existing, on=[id_col, "band"], how="left_anti")
+    except Exception:  # noqa: BLE001 — bands table never committed
+        to_add = derived
+    to_add = to_add.localCheckpoint(eager=False)
+    n_rows = to_add.count()
+    if n_rows:
+        store.append_band_rows(to_add, summary={"op": "repair-bands"})
+        return to_add.select(id_col).distinct().count()
+    return 0
 
 
 def ingest_batch(
@@ -965,7 +990,7 @@ def ingest_batch(
     from dsm2dtm_spark.operators.decontam import decontaminate
 
     if broadcast_fresh is None:
-        broadcast_fresh = not isinstance(store, BucketedSignatureStore)
+        broadcast_fresh = getattr(store, "BROADCAST_FRESH_DEFAULT", True)
     # self-heal BEFORE the batch guard: a crash between the corpus and store
     # commits left rows committed-but-unsigned, and the guard would
     # otherwise short-circuit past them forever

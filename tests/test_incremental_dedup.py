@@ -259,6 +259,46 @@ class TestStoreCensusAndRepair:
         sc.setJobGroup(None, None)
         assert list(ids) == []
 
+    def test_repair_heals_partial_band_sets_without_duplicates(self, spark, tmp_path):
+        """A torn bands append can leave a doc with SOME of its band rows;
+        the heal is per-(id, band), so exactly the missing rows append and
+        nothing duplicates (r5 review finding: a distinct-id anti-join
+        would skip partially-banded docs forever)."""
+        from dsm2dtm_spark.operators.incremental import repair_store
+        from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = SignatureStore(str(tmp_path / "store"))
+        docs = _df(spark, [(i, f"document {i} on weirs and gates number {i}") for i in range(3)])
+        corpus.write_pandas(docs.toPandas())
+        sigs = sign_documents(docs, method="md5")
+        sp = {"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}}
+        store.signatures.write_dataframe(sigs, summary=sp)
+        # torn append: doc 0 keeps only bands 0-1, doc 1 all 4, doc 2 none
+        full = band_buckets(sigs)
+        torn = full.filter("(doc_id = 0 AND band < 2) OR doc_id = 1")
+        store.bands.write_dataframe(torn)
+        assert store.band_row_count() == 6
+        assert repair_store(spark, corpus, store, method="md5") == 2  # docs 0 and 2 healed
+        got = [
+            (r.doc_id, r.band, r.bucket) for r in store.read_bands(spark).collect()
+        ]
+        want = [(r.doc_id, r.band, r.bucket) for r in full.collect()]
+        assert sorted(got) == sorted(want)  # complete AND duplicate-free
+
+    def test_cross_class_open_does_not_brick_an_empty_root(self, spark, tmp_path):
+        """Opening an empty root with the plain class scaffolds empty dirs;
+        the bucketed guard keys on a committed marker, so the root stays
+        usable for either layout until something actually commits."""
+        from dsm2dtm_spark.operators.incremental import BucketedSignatureStore
+
+        root = str(tmp_path / "fresh")
+        SignatureStore(root)  # scaffolds signatures/meta etc., commits nothing
+        store = BucketedSignatureStore(root, n_buckets=4)  # must not raise
+        incremental_dedup(store, _df(spark, [(1, "first doc about sluices")]), method="md5")
+        with pytest.raises(ValueError, match="BucketedSignatureStore"):
+            SignatureStore(root)  # now it HAS committed bucketed state
+
     def test_census_accumulates_across_appends(self, spark, tmp_path):
         # a bucket that crosses the cap only CUMULATIVELY (3 rows, then 3
         # more via direct append) must turn hot — partial counts sum across
