@@ -9,13 +9,15 @@ of it in one sequential pass:
 
     zip -qr engine.zip dsm2dtm_spark
     spark-submit --py-files engine.zip jobs/maintain_tables.py \
-        [--table /path/to/snapshot_table]... \
+        [--table /path/to/snapshot_table]... [--sort-by cell_id] \
         [--store /path/to/sigstore [--bucketed-store]] \
         [--small-file-mb 32] [--target-file-mb 128] \
         [--expire-keep-last 3] [--cores 32]
 
 - each `--table` (repeatable): `SnapshotTable.compact` (small files fold
-  into ~target-sized ones as ONE atomic snapshot), then
+  into ~target-sized ones as ONE atomic snapshot; `--sort-by` range-
+  clusters rows during the rewrite so the new parquet footers' min/max
+  make `read(where=...)` file skipping sharp), then
   `expire_snapshots(keep_last)` — old manifests drop and unreferenced
   data files (crashed-write orphans included) are deleted;
 - `--store`: the matching store class's `compact()` — the plain store
@@ -47,6 +49,7 @@ def run_maintenance(
     small_file_mb: int = 32,
     target_file_mb: int = 128,
     expire_keep_last: int = 3,
+    sort_by: str | None = None,
 ) -> dict:
     """Compact each snapshot table (then expire old snapshots) and the
     dedup store, sequentially. Returns the per-target count report the CLI
@@ -62,6 +65,7 @@ def run_maintenance(
             spark,
             small_file_bytes=small_file_mb << 20,
             target_file_bytes=target_file_mb << 20,
+            sort_by=[sort_by] if sort_by else None,
         )
         expired = t.expire_snapshots(expire_keep_last) if expire_keep_last else []
         report["tables"][root] = {
@@ -94,6 +98,9 @@ def main():
         action="store_true",
         help="the --store root holds a BucketedSignatureStore layout",
     )
+    ap.add_argument(
+        "--sort-by", default=None, help="range-cluster table rows by this column during compaction"
+    )
     ap.add_argument("--small-file-mb", type=int, default=32)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument(
@@ -118,6 +125,7 @@ def main():
         small_file_mb=args.small_file_mb,
         target_file_mb=args.target_file_mb,
         expire_keep_last=args.expire_keep_last,
+        sort_by=args.sort_by,
     )
     print(json.dumps(report))
     spark.stop()
