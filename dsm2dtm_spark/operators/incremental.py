@@ -467,10 +467,20 @@ class BucketedSignatureStore:
     def _ensure_registered(self, spark) -> None:
         """Recreate the catalog entries from the manifest DDL when this
         session hasn't seen the store yet (the in-memory catalog does not
-        survive spark-submit runs; the manifest is the source of truth)."""
+        survive spark-submit runs; the manifest is the source of truth),
+        and DROP this session's cached file listing for them: an append
+        through a DIFFERENT session sharing the catalog — foreachBatch
+        hands the streaming twin a CLONED session — refreshes only the
+        writer's cache, and a stale InMemoryFileIndex here silently hides
+        the new bucket files from every join (wrong results, caught by the
+        streaming-over-bucketed-store test). The invalidation is metadata-
+        only; the next scan re-lists once."""
         for kind, entry in self._meta().get("tables", {}).items():
-            if not spark.catalog.tableExists(self._table_name(kind)):
+            name = self._table_name(kind)
+            if not spark.catalog.tableExists(name):
                 self._register(spark, kind, entry)
+            else:
+                spark.catalog.refreshTable(name)
 
     def append(self, signatures_df: DataFrame, bands: int = 4, summary: dict | None = None) -> None:
         signatures_df = signatures_df.localCheckpoint(eager=True)

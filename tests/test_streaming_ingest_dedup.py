@@ -108,3 +108,37 @@ class TestStreamingIngestDedup:
         # contents unchanged
         assert store.read_signatures(spark).count() == 12
         assert store.read_bands(spark).count() == 12 * 4
+
+
+class TestStreamingWithBucketedStore:
+    def test_stream_over_bucketed_store_and_batch_interop(self, spark, tmp_path):
+        """The streaming twin composes with the bucketed layout unchanged:
+        ingest_batch resolves the shuffle-join strategy from the store
+        class, and micro-batches + a later batch ingest dedup against the
+        same hive-bucketed state."""
+        from dsm2dtm_spark.operators.incremental import BucketedSignatureStore
+
+        inbox = str(tmp_path / "inbox")
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = BucketedSignatureStore(str(tmp_path / "store"), n_buckets=4)
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(inbox, "a.parquet", [
+            (0, "the first streamed document about shuffle partitions and skew"),
+            (1, "a second streamed document on broadcast joins and pushdown"),
+        ])
+        streaming_doc_ingest(spark, inbox, corpus, store, ckpt, max_files_per_trigger=1)
+        assert store.read_signatures(spark).count() == 2
+        _write_batch(inbox, "b.parquet", [
+            (10, "the first streamed document about shuffle partitions and skew"),
+            (11, "an entirely new streamed document about watermark semantics"),
+        ])
+        streaming_doc_ingest(spark, inbox, corpus, store, ckpt, max_files_per_trigger=1)
+        assert sorted(r.doc_id for r in corpus.read(spark).collect()) == [0, 1, 11]
+        # batch ingest against the stream's bucketed state
+        batch = spark.createDataFrame(pd.DataFrame(
+            [(20, "an entirely new streamed document about watermark semantics"),
+             (21, "one genuinely fresh batch document closing out the test")],
+            columns=["doc_id", "text"]))
+        _, counts = ingest_batch(spark, batch, corpus, store, batch_id="bx")
+        assert counts["dropped_exact_vs_corpus"] == 1 and counts["survivors"] == 1
+        assert sorted(r.doc_id for r in corpus.read(spark).collect()) == [0, 1, 11, 21]
