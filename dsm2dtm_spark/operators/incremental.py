@@ -475,9 +475,25 @@ class BucketedSignatureStore:
         the new bucket files from every join (wrong results, caught by the
         streaming-over-bucketed-store test). The invalidation is metadata-
         only; the next scan re-lists once."""
+        import os
+
         for kind, entry in self._meta().get("tables", {}).items():
             name = self._table_name(kind)
             if not spark.catalog.tableExists(name):
+                self._register(spark, kind, entry)
+                continue
+            # a compact in ANOTHER session bumps the versioned location and
+            # deletes the old directory; a catalog entry still pointing at
+            # it must be re-registered, not just refreshed
+            registered = (
+                spark.sql(f"DESCRIBE FORMATTED {name}")
+                .filter("col_name = 'Location'")
+                .collect()[0]
+                .data_type
+            )
+            expected = self._location(kind, entry["version"])
+            if os.path.abspath(registered.removeprefix("file:")) != expected:
+                spark.sql(f"DROP TABLE {name}")
                 self._register(spark, kind, entry)
             else:
                 spark.catalog.refreshTable(name)

@@ -305,6 +305,27 @@ class TestBucketedStore:
         )
         assert hits == 1
 
+    def test_reads_survive_compact_from_a_cloned_session(self, spark, tmp_path):
+        """A compact in another session bumps the versioned location and
+        deletes the old directory; this session's catalog entry (pointing
+        at the dead path) must be re-registered from the manifest, not just
+        cache-refreshed."""
+        store = BucketedSignatureStore(str(tmp_path / "xcompact"), n_buckets=4)
+        sp = {"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}}
+        for half in (CORPUS[:2], CORPUS[2:]):
+            store.append(sign_documents(_df(spark, half), method="md5"), summary=sp)
+        assert store.read_signatures(spark).count() == 4  # register + cache here
+        clone_store = BucketedSignatureStore(str(tmp_path / "xcompact"))
+        clone_store.compact(spark.newSession())  # v0 dir is now deleted
+        assert store.read_signatures(spark).count() == 4
+        got = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup(
+                store, _df(spark, FRESH), method="md5", broadcast_fresh=False
+            ).collect()
+        }
+        assert got == {100: "exact", 101: "near", 102: "keep", 103: "keep"}
+
     def test_layout_mismatch_fails_fast(self, spark, tmp_path):
         """Reopening a store with the OTHER class must raise, not silently
         re-bootstrap over the committed state (jobs: the --bucketed-store
