@@ -603,7 +603,14 @@ class BucketedSignatureStore:
         restores the sorted-within-bucket property that lets the bucketed
         SMJ skip its per-partition Sort. Old version directories (and any
         half-written orphans from a crashed compact) are swept after the
-        manifest commit. Census partials roll up like the parent store's."""
+        manifest commit. Census partials roll up like the parent store's.
+
+        COST: this is a FULL-TABLE rewrite (unlike SnapshotTable.compact,
+        which folds only sub-threshold files) — schedule it sparingly at
+        warehouse scale. The exchange-free join property does NOT degrade
+        with append pileup (bucket pruning is by file-name bucket id);
+        only the sort-elision does, and a per-partition Sort over one
+        bucket's rows is cheap relative to the join it feeds."""
         import glob
         import shutil
 
