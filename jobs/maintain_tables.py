@@ -10,7 +10,8 @@ of it in one sequential pass:
     zip -qr engine.zip dsm2dtm_spark
     spark-submit --py-files engine.zip jobs/maintain_tables.py \
         [--table /path/to/snapshot_table]... [--sort-by cell_id] \
-        [--store /path/to/sigstore [--bucketed-store]] \
+        [--store /path/to/sigstore [--bucketed-store] \
+         [--repair-corpus /path/to/corpus_table]] \
         [--small-file-mb 32] [--target-file-mb 128] \
         [--expire-keep-last 3] [--cores 32]
 
@@ -27,7 +28,12 @@ of it in one sequential pass:
   file per bucket — restoring the exchange-free SMJ's sort-free read),
   swaps the catalog entry + manifest pointer, and sweeps old/orphan
   version directories. Store layout is auto-guarded: opening with the
-  wrong flag fails fast rather than touching anything.
+  wrong flag fails fast rather than touching anything. `--repair-corpus`
+  additionally runs the store self-heal against that corpus table BEFORE
+  compacting (footer watermarks; re-signs/re-bands only what a crashed
+  ingest actually lost) using the signature parameters the store itself
+  recorded — useful after restoring a store from backup, when the next
+  scheduled ingest is far away.
 
 Safe to run between ingests (single-writer discipline, same as the ingest
 job itself); every compaction is an atomic commit, so a crash mid-pass
@@ -50,6 +56,7 @@ def run_maintenance(
     target_file_mb: int = 128,
     expire_keep_last: int = 3,
     sort_by: str | None = None,
+    repair_corpus: str | None = None,
 ) -> dict:
     """Compact each snapshot table (then expire old snapshots) and the
     dedup store, sequentially. Returns the per-target count report the CLI
@@ -75,6 +82,18 @@ def run_maintenance(
     if store_root:
         store_cls = BucketedSignatureStore if bucketed else SignatureStore
         store = store_cls(store_root)
+        if repair_corpus:
+            from dsm2dtm_spark.operators.incremental import repair_store
+
+            sp = store.params()
+            report["repaired"] = repair_store(
+                spark,
+                SnapshotTable(repair_corpus),
+                store,
+                n_hashes=sp.get("n_hashes", 16),
+                bands=sp.get("bands", 4),
+                method=sp.get("method", "xxhash64"),
+            )
         kwargs = (
             {}
             if bucketed
@@ -97,6 +116,11 @@ def main():
         "--bucketed-store",
         action="store_true",
         help="the --store root holds a BucketedSignatureStore layout",
+    )
+    ap.add_argument(
+        "--repair-corpus",
+        default=None,
+        help="corpus snapshot-table root: run the store self-heal against it before compacting",
     )
     ap.add_argument(
         "--sort-by", default=None, help="range-cluster table rows by this column during compaction"
@@ -126,6 +150,7 @@ def main():
         target_file_mb=args.target_file_mb,
         expire_keep_last=args.expire_keep_last,
         sort_by=args.sort_by,
+        repair_corpus=args.repair_corpus,
     )
     print(json.dumps(report))
     spark.stop()

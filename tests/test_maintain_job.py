@@ -88,6 +88,38 @@ class TestMaintainJob:
         assert not os.path.exists(os.path.join(root, "store.json"))
         SignatureStore(root)  # still opens as a plain store
 
+    def test_repair_corpus_option_heals_before_compacting(self, spark, tmp_path):
+        """--repair-corpus runs the store self-heal (with the store's OWN
+        recorded parameters) before compaction: a store restored without
+        its band table comes back complete in one maintenance pass."""
+        import shutil
+
+        from dsm2dtm_spark.operators.incremental import incremental_dedup
+        from dsm2dtm_spark.operators.incremental import ingest_batch as _ib
+
+        corpus = SnapshotTable(str(tmp_path / "corpus"))
+        store = SignatureStore(str(tmp_path / "store"))
+        batch = _docs(spark, 0, 8)
+        _ib(spark, batch, corpus, store, method="md5", batch_id="m1")
+        shutil.rmtree(str(tmp_path / "store" / "bands"))  # lost in a bad restore
+        report = run_maintenance(
+            spark,
+            [],
+            store_root=str(tmp_path / "store"),
+            repair_corpus=str(tmp_path / "corpus"),
+        )
+        assert report["repaired"] == 8
+        assert store.band_row_count() == 8 * 4
+        # LSH path works again: a close variant of a healed doc is caught
+        fresh = spark.createDataFrame(
+            pd.DataFrame(
+                [(200, "wholly distinct document 3 about subject 39 x")],
+                columns=["doc_id", "text"],
+            )
+        )
+        out = incremental_dedup(store, fresh, method="md5", threshold=0.5, commit=False)
+        assert [r.verdict for r in out.collect()] == ["near"]
+
     def test_expiry_disabled_keeps_history(self, spark, tmp_path):
         table_root = str(tmp_path / "t")
         t = SnapshotTable(table_root)
