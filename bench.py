@@ -4,11 +4,19 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "dtm_tiles_per_sec": ...,
-     "dtm_mpix_per_sec": ..., "cores": N}
+     "dtm_mpix_per_sec": ..., "cores": N, "runs": {name: [raw...]}}
 
 The DTM phase is the north-star metric (tiles/sec, tile = 128 px core over
 the processed image grid). The bench image table is deterministic and cached
 under data/bench/ so rounds are comparable.
+
+Every number is a MIN over repeated passes (5 for the dtm/tiled phases,
+3 for each relational query), with the raw per-pass walls embedded under
+"runs": this shared box suffers multi-10-second co-tenant stalls that
+inflated single-shot records by 1.5-4x on zero code delta (VERDICT r5);
+the min over interleaved passes measures engine capability, not host
+steal. Passes are interleaved (whole suite per pass, min per query) so a
+stall burst degrades at most one pass of each query, never all of them.
 """
 
 from __future__ import annotations
@@ -65,15 +73,12 @@ def ensure_bench_images() -> None:
     pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), BENCH_BIG_IMAGES, row_group_size=1)
 
 
-def run_dtm_phase(spark) -> dict:
+def _dtm_once(spark) -> tuple[float, object]:
     from pyspark.sql import functions as F
 
     from dsm2dtm_spark.plans import dtm_transform
 
     images = spark.read.parquet(BENCH_IMAGES)
-    # warmup: 8 rows through the full plan spins up codegen + the python
-    # worker pool so the measured number is engine throughput, not JVM boot
-    dtm_transform(images.limit(8), radius_m=40.0).count()
     t0 = time.time()
     out = dtm_transform(images, radius_m=40.0)
     agg = out.agg(
@@ -81,32 +86,55 @@ def run_dtm_phase(spark) -> dict:
         F.sum(F.ceil(F.col("w") / TILE) * F.ceil(F.col("h") / TILE)).alias("tiles"),
         F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"),
     ).collect()[0]
-    wall = time.time() - t0
-    return {
-        "sec": round(wall, 2),
-        "images": agg.n,
-        "tiles": int(agg.tiles),
-        "tiles_per_sec": round(agg.tiles / wall, 2),
-        "mpix_per_sec": round(agg.pixels / wall / 1e6, 3),
-    }
+    return time.time() - t0, agg
 
 
-def run_tiled_phase(spark) -> dict:
+def _tiled_once(spark) -> tuple[float, object]:
     from pyspark.sql import functions as F
 
     from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
 
     images = spark.read.parquet(BENCH_BIG_IMAGES)
-    tiled_dtm_transform(images.limit(1), tile_px=512, radius_m=15.0).count()  # warmup
     t0 = time.time()
     out = tiled_dtm_transform(images, tile_px=512, radius_m=15.0)
     agg = out.agg(
         F.count("*").alias("n"), F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels")
     ).collect()[0]
-    wall = time.time() - t0
-    tiles = agg.n * (2048 // 512) ** 2
-    return {"sec": round(wall, 2), "tiles": tiles, "tiles_per_sec": round(tiles / wall, 2),
-            "mpix_per_sec": round(agg.pixels / wall / 1e6, 3)}
+    return time.time() - t0, agg
+
+
+def run_dtm_phases(spark, n_passes: int = 5) -> tuple[dict, dict, dict]:
+    """Both raster phases, ``n_passes`` interleaved (dtm, tiled) rounds;
+    min wall per phase. Returns (dtm_stats, tiled_stats, raw_runs)."""
+    from dsm2dtm_spark.operators.tiling import tiled_dtm_transform
+    from dsm2dtm_spark.plans import dtm_transform
+
+    images = spark.read.parquet(BENCH_IMAGES)
+    big = spark.read.parquet(BENCH_BIG_IMAGES)
+    # warmup: a few rows through each full plan spins up codegen + the
+    # python worker pool so measured passes are engine throughput, not boot
+    dtm_transform(images.limit(8), radius_m=40.0).count()
+    tiled_dtm_transform(big.limit(1), tile_px=512, radius_m=15.0).count()
+    runs: dict[str, list[float]] = {"dtm_pipeline": [], "tiled_pipeline": []}
+    dtm_agg = tiled_agg = None
+    for _ in range(n_passes):
+        w, dtm_agg = _dtm_once(spark)
+        runs["dtm_pipeline"].append(round(w, 2))
+        w, tiled_agg = _tiled_once(spark)
+        runs["tiled_pipeline"].append(round(w, 2))
+    dtm_wall = min(runs["dtm_pipeline"])
+    dtm = {
+        "sec": dtm_wall,
+        "images": dtm_agg.n,
+        "tiles": int(dtm_agg.tiles),
+        "tiles_per_sec": round(dtm_agg.tiles / dtm_wall, 2),
+        "mpix_per_sec": round(dtm_agg.pixels / dtm_wall / 1e6, 3),
+    }
+    t_wall = min(runs["tiled_pipeline"])
+    tiles = tiled_agg.n * (2048 // 512) ** 2
+    tiled = {"sec": t_wall, "tiles": tiles, "tiles_per_sec": round(tiles / t_wall, 2),
+             "mpix_per_sec": round(tiled_agg.pixels / t_wall / 1e6, 3)}
+    return dtm, tiled, runs
 
 
 def relational_queries(sf_dir: str):
@@ -145,15 +173,20 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    dtm = run_dtm_phase(spark)
+    dtm, tiled, runs = run_dtm_phases(spark, n_passes=5)
     timings["dtm_pipeline"] = dtm["sec"]
-    tiled = run_tiled_phase(spark)
     timings["tiled_pipeline"] = tiled["sec"]
 
-    for name, fn in relational_queries(sf_dir).items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 2)
+    rel = relational_queries(sf_dir)
+    for name in rel:
+        runs[name] = []
+    for _ in range(3):  # interleaved passes; min per query below
+        for name, fn in rel.items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.time() - t0, 2))
+    for name in rel:
+        timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 2)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -172,6 +205,7 @@ def main():
                 "dtm_mpix_per_sec": dtm["mpix_per_sec"],
                 "tiled_tiles_per_sec": tiled["tiles_per_sec"],
                 "tiled_mpix_per_sec": tiled["mpix_per_sec"],
+                "runs": runs,
             }
         )
     )

@@ -155,6 +155,14 @@ class SignatureStore:
                 f"for bucket_cap={persisted}; reopen with that cap (got {bucket_cap})."
             )
         self.bucket_cap = bucket_cap if bucket_cap is not None else persisted
+        # enabling the cap for the FIRST time on a store that already has
+        # committed band rows: the census starts empty, so cumulative totals
+        # would miss every pre-existing row and hot_buckets() would silently
+        # under-report historical floods (ADVICE r5). Backfill one-time from
+        # the stored band table at the first call that has a Spark session.
+        self._census_backfill_pending = (
+            self.bucket_cap is not None and persisted is None and not self.is_empty()
+        )
 
     def is_empty(self) -> bool:
         return self.signatures.current_snapshot() is None
@@ -187,6 +195,10 @@ class SignatureStore:
         the most expensive stage of every ingest. With a configured
         ``bucket_cap`` the hot-bucket census updates here too (write-path
         amortization; see class docstring)."""
+        if self.bucket_cap is not None:
+            # backfill BEFORE this batch's rows land in the band table, or
+            # the later census read would double-count them
+            self._backfill_census_if_needed(signatures_df.sparkSession)
         signatures_df = signatures_df.localCheckpoint(eager=True)
         self.signatures.write_dataframe(signatures_df, summary=summary)
         band_rows = band_buckets(signatures_df, bands=bands).localCheckpoint(eager=False)
@@ -204,6 +216,8 @@ class SignatureStore:
         the crash window where the signatures commit landed but the bands
         commit did not (``repair_store`` derives the rows from the STORED
         signatures, so nothing is re-shingled and nothing duplicates)."""
+        if self.bucket_cap is not None:
+            self._backfill_census_if_needed(band_rows.sparkSession)
         band_rows = band_rows.localCheckpoint(eager=True)
         self.bands.write_dataframe(band_rows, summary=summary)
         if self.bucket_cap is not None:
@@ -214,6 +228,33 @@ class SignatureStore:
     def _persisted_cap(self) -> int | None:
         snap = self.bucket_stats.current_snapshot()
         return snap.summary.get("bucket_cap") if snap else None
+
+    def _backfill_census_if_needed(self, spark) -> None:
+        """One-time census bootstrap when ``bucket_cap`` was configured on a
+        store that already holds committed band rows (the census otherwise
+        starts empty and undercounts historical buckets forever — ADVICE r5).
+        Seeds ``bucket_stats`` from a full groupBy over the STORED band table
+        — paid once, at cap-enable time, never per batch. MUST run before any
+        append's partial counts land (a caller appending first would double-
+        count its own batch once the backfill later re-reads it), which is
+        why every census writer and reader calls this first."""
+        if not getattr(self, "_census_backfill_pending", False):
+            return
+        self._census_backfill_pending = False
+        counts = self.read_bands(spark).groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        counts = counts.localCheckpoint(eager=True)
+        crossed = (
+            counts.filter(F.col("n") > self.bucket_cap)
+            .select("band", "bucket")
+            .limit(self.MAX_HOT_LIST + 1)
+            .collect()
+        )
+        summary: dict = {"bucket_cap": self.bucket_cap, "op": "census-backfill"}
+        if len(crossed) > self.MAX_HOT_LIST:
+            summary["hot_overflow"] = True
+        else:
+            summary["hot"] = sorted([[r.band, r.bucket] for r in crossed])
+        self.bucket_stats.write_dataframe(counts, summary=summary)
 
     def _update_bucket_census(self, band_rows: DataFrame) -> None:
         """Fold the appended band rows into the persisted census: commit
@@ -244,16 +285,22 @@ class SignatureStore:
             totals = prior.unionByName(counts_new)
         else:
             totals = counts_new
+        # limit BEFORE collect: a pathological flood batch can cross the cap
+        # in millions of buckets, and an unbounded collect would materialize
+        # them all on the driver before the overflow check (VERDICT r5).
+        # Hitting the limit proves the list is bigger than metadata allows —
+        # the exact rows beyond it are irrelevant, overflow flips regardless.
         crossed = (
             totals.groupBy("band", "bucket")
             .agg(F.sum("n").alias("n"))
             .filter(F.col("n") > self.bucket_cap)
             .select("band", "bucket")
+            .limit(self.MAX_HOT_LIST + 1)
             .collect()
         )
         hot = prev_hot | {(r.band, r.bucket) for r in crossed}
         summary: dict = {"bucket_cap": self.bucket_cap}
-        if prev_overflow or len(hot) > self.MAX_HOT_LIST:
+        if len(crossed) > self.MAX_HOT_LIST or len(hot) > self.MAX_HOT_LIST:
             # overflow is sticky: counts only grow, so a bucket never cools
             # — once the list is census-backed it must STAY census-backed
             # (a later small 'hot' would silently drop the flood guard for
@@ -269,6 +316,7 @@ class SignatureStore:
         to the on-the-fly groupBy census). Metadata-only on the happy path."""
         if bucket_cap is None or bucket_cap != self.bucket_cap:
             return None
+        self._backfill_census_if_needed(spark)
         snap = self.bucket_stats.current_snapshot()
         if snap is None:
             return None
@@ -405,6 +453,10 @@ class BucketedSignatureStore:
                 f"for bucket_cap={persisted_cap}; reopen with that cap (got {bucket_cap})."
             )
         self.bucket_cap = bucket_cap if bucket_cap is not None else persisted_cap
+        # same first-enable census hole as the plain store (ADVICE r5)
+        self._census_backfill_pending = (
+            self.bucket_cap is not None and persisted_cap is None and not self.is_empty()
+        )
 
     # --------------------------------------------------------- manifest
 
@@ -443,6 +495,7 @@ class BucketedSignatureStore:
     check_params = SignatureStore.check_params
     _persisted_cap = SignatureStore._persisted_cap
     _update_bucket_census = SignatureStore._update_bucket_census
+    _backfill_census_if_needed = SignatureStore._backfill_census_if_needed
     _rollup_census = SignatureStore._rollup_census
     hot_buckets = SignatureStore.hot_buckets
 
@@ -503,6 +556,8 @@ class BucketedSignatureStore:
         n_new = signatures_df.count()  # cached blocks — cheap; keeps the manifest's watermark
         spark = signatures_df.sparkSession
         self._ensure_registered(spark)
+        if self.bucket_cap is not None:
+            self._backfill_census_if_needed(spark)
         meta = self._meta()
         tables = meta.setdefault("tables", {})
         band_rows = band_buckets(signatures_df, bands=bands).localCheckpoint(eager=False)
@@ -546,22 +601,27 @@ class BucketedSignatureStore:
     def signature_row_count(self) -> int | None:
         return self._meta().get("rows") or None
 
-    def band_row_count(self) -> int | None:
-        """Footer-metadata row count of the band table (summed num_rows over
-        the current version directory — zero data pages read)."""
+    def _footer_rows(self, kind: str) -> int | None:
+        """Summed parquet-footer num_rows over a sub-table's CURRENT version
+        directory — zero data pages read, O(#files) metadata."""
         import glob
         import os
 
         import pyarrow.parquet as pq
 
-        entry = self._meta().get("tables", {}).get("bands")
+        entry = self._meta().get("tables", {}).get(kind)
         if entry is None:
             return None
-        loc = self._location("bands", entry["version"])
+        loc = self._location(kind, entry["version"])
         return sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in glob.glob(os.path.join(loc, "*.parquet"))
         )
+
+    def band_row_count(self) -> int | None:
+        """Footer-metadata row count of the band table (summed num_rows over
+        the current version directory — zero data pages read)."""
+        return self._footer_rows("bands")
 
     def append_band_rows(self, band_rows: DataFrame, summary: dict | None = None) -> None:
         """Bands-only repair append (see SignatureStore.append_band_rows);
@@ -570,6 +630,8 @@ class BucketedSignatureStore:
         band_rows = band_rows.localCheckpoint(eager=True)
         spark = band_rows.sparkSession
         self._ensure_registered(spark)
+        if self.bucket_cap is not None:
+            self._backfill_census_if_needed(spark)
         cols = self._BUCKET_COLS["bands"]
         (
             band_rows.write.mode("append")
@@ -583,18 +645,25 @@ class BucketedSignatureStore:
 
     def sync_row_watermark(self, spark) -> int:
         """Correct a stale-low manifest row count — the crash window between
-        the table appends and the manifest write — from the table's actual
-        (footer-cheap) count, so the repair high-watermark happy path comes
-        back instead of anti-joining forever. Called by ``repair_store``
-        when a count mismatch turned up nothing missing."""
+        the table appends and the manifest write — from the signature
+        table's parquet-footer num_rows sum (O(#files) metadata, no Spark
+        scan — a full table count here would make the repair heal far more
+        expensive than advertised on a huge store; ADVICE r5), so the repair
+        high-watermark happy path comes back instead of anti-joining
+        forever. Called by ``repair_store`` when a count mismatch turned up
+        nothing missing. Falls back to a Spark count only if a footer is
+        unreadable."""
         meta = self._meta()
         if "signatures" not in meta.get("tables", {}):
             return 0
-        n = self.read_signatures(spark).count()
+        try:
+            n = self._footer_rows("signatures")
+        except Exception:  # noqa: BLE001 — footers are an optimization only
+            n = self.read_signatures(spark).count()
         if n and meta.get("rows") != n:
             meta["rows"] = n
             self._write_meta(meta)
-        return n
+        return n or 0
 
     def compact(self, spark, **kwargs) -> dict:
         """Fold the many small per-append bucket files into one file per

@@ -30,9 +30,11 @@ creation: reopening an existing store with the other flag fails fast (both
 classes detect the on-disk layout) rather than silently re-bootstrapping.
 
 Exactly-once-ish semantics: a batch id (md5 of the resolved input path,
-row count, AND an order-independent content digest — bit_xor of
-xxhash64(text, doc_id) — so a new snapshot re-landing at the same path
-with a coincidentally equal row count can never collide into a silent
+row count, AND two order-independent content digests — bit_xor of
+xxhash64(text, doc_id) plus a multiset-sensitive sum(pmod(xxhash64, p))
+that survives the xor's even-multiplicity cancellation — so a new
+snapshot re-landing at the same path with a coincidentally equal row
+count can never collide into a silent
 skip) is recorded in the corpus commit summary; re-running the SAME batch
 against the same corpus is a no-op (the guard catches it before any
 signing, and the skip decision is printed with the colliding id).
@@ -98,17 +100,22 @@ def main():
         fresh = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval_set) if args.eval_set else None
 
-    # content-folded id (ADVICE r4): path + row count + bit_xor of per-row
-    # xxhash64 — xor is order-independent (partitioning-stable) and cannot
-    # overflow, so distinct batches at the same path can't silently collide
+    # content-folded id (ADVICE r4): path + row count + two order-independent
+    # (partitioning-stable) per-row digests. bit_xor alone cancels rows that
+    # appear an even number of times ({A,A,B} and {B,C,C} both xor to h(B)
+    # at equal n — ADVICE r5), so a multiset-sensitive SUM of the same hash
+    # reduced mod a small prime rides alongside: sum stays ANSI-safe
+    # (n * 10^6 < 2^63 up to 9*10^12 rows) and duplicate pairs no longer
+    # cancel. A collision now needs xor AND modular sum AND count to agree.
     from pyspark.sql import functions as F
 
     agg = fresh.agg(
         F.count("*").alias("n"),
         F.expr("bit_xor(xxhash64(text, doc_id))").alias("xor"),
+        F.expr("sum(pmod(xxhash64(text, doc_id), 1000003))").alias("msum"),
     ).collect()[0]
     batch_id = hashlib.md5(
-        f"{os.path.abspath(args.input)}:{agg['n']}:{agg['xor']}".encode()
+        f"{os.path.abspath(args.input)}:{agg['n']}:{agg['xor']}:{agg['msum']}".encode()
     ).hexdigest()[:16]
     store_cls = BucketedSignatureStore if args.bucketed_store else SignatureStore
     _, counts = ingest_batch(

@@ -174,6 +174,25 @@ class TestBucketedStore:
         with pytest.raises(ValueError, match="hot-bucket census"):
             BucketedSignatureStore(str(tmp_path / "census"), bucket_cap=9)
 
+    def test_first_cap_enable_backfills_census(self, spark, tmp_path):
+        """Same first-enable hole as the plain store (ADVICE r5, line 407):
+        a bucketed store that committed band rows capless must seed its
+        census from the stored band table when the cap first arrives."""
+        flood = [(i, f"standard legal boilerplate footer text {i % 2}") for i in range(50)]
+        root = str(tmp_path / "late_cap_b")
+        store0 = BucketedSignatureStore(root, n_buckets=4)
+        incremental_dedup(store0, _df(spark, flood), method="md5", broadcast_fresh=False)
+        assert store0.bucket_stats.current_snapshot() is None
+        store = BucketedSignatureStore(root, bucket_cap=3)
+        hot = {(r.band, r.bucket) for r in store.hot_buckets(spark, 3).collect()}
+        census = {
+            (r.band, r.bucket)
+            for r in store.read_bands(spark)
+            .groupBy("band", "bucket").count().filter("count > 3")
+            .select("band", "bucket").collect()
+        }
+        assert hot and hot == census
+
     def test_reregisters_from_manifest_in_fresh_catalog(self, spark, tmp_path):
         """The in-memory catalog dies with the spark-submit session; the
         store manifest must recreate the EXTERNAL bucketed tables — with the

@@ -218,6 +218,75 @@ class TestStoreCensusAndRepair:
         }
         assert len(flood_pairs) == 4 and flood_pairs <= hot
 
+    def test_first_cap_enable_backfills_census(self, spark, tmp_path):
+        """Enabling bucket_cap for the FIRST time on a store that already
+        holds committed band rows must backfill the census from the stored
+        band table (ADVICE r5): an empty-started census would miss every
+        pre-existing row, under-report historical floods, and silently drop
+        the flood guard dedup_against relies on."""
+        root = str(tmp_path / "late_cap")
+        # phase 1: capless store accumulates a flood (no census maintained)
+        store0 = SignatureStore(root)
+        incremental_dedup(store0, _df(spark, self.FLOOD), method="md5")
+        assert store0.bucket_stats.current_snapshot() is None
+        # phase 2: reopen WITH the cap — the persisted list must now cover
+        # the HISTORICAL flood buckets, exactly matching the on-the-fly census
+        store = SignatureStore(root, bucket_cap=3)
+        hot = {(r.band, r.bucket) for r in store.hot_buckets(spark, 3).collect()}
+        census = {
+            (r.band, r.bucket)
+            for r in store.read_bands(spark)
+            .groupBy("band", "bucket").count().filter("count > 3")
+            .select("band", "bucket").collect()
+        }
+        assert hot and hot == census
+        # phase 3: a later append must not double-count — cumulative census
+        # totals stay equal to a fresh groupBy over the actual band table
+        quiet = [(1000 + i, f"wholly unique follow-up document {i} topic {i}") for i in range(3)]
+        incremental_dedup(store, _df(spark, quiet), method="md5", bucket_cap=3)
+        totals = {
+            (r.band, r.bucket): r.n
+            for r in store.bucket_stats.read(spark)
+            .groupBy("band", "bucket").agg(F.sum("n").alias("n")).collect()
+        }
+        actual = {
+            (r.band, r.bucket): r["count"]
+            for r in store.read_bands(spark).groupBy("band", "bucket").count().collect()
+        }
+        assert totals == actual
+
+    def test_crossed_collect_is_bounded(self, spark, tmp_path, monkeypatch):
+        """VERDICT r5 'what's wrong' #1: the census probe must LIMIT before
+        collecting — a pathological batch crossing the cap in far more
+        buckets than MAX_HOT_LIST may materialize at most MAX_HOT_LIST + 1
+        rows on the driver, then flip straight to census-backed overflow."""
+        # the concrete class in PySpark 4 (pyspark.sql.DataFrame is the
+        # abstract base — patching it would never intercept)
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+        monkeypatch.setattr(SignatureStore, "MAX_HOT_LIST", 2)
+        store = SignatureStore(str(tmp_path / "bounded"), bucket_cap=0)
+        sizes: list[int] = []
+        orig = ClassicDF.collect
+
+        def spy(self):
+            rows = orig(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(ClassicDF, "collect", spy)
+        # 4 docs x 4 bands: every occupied (band, bucket) pair crosses
+        # cap=0 — far more than MAX_HOT_LIST=2
+        docs = [(i, f"wholly distinct document number {i} about subject {i}") for i in range(4)]
+        store.append(sign_documents(_df(spark, docs), method="md5"))
+        assert sizes and max(sizes) <= SignatureStore.MAX_HOT_LIST + 1
+        snap = store.bucket_stats.current_snapshot()
+        assert snap.summary.get("hot_overflow") is True and "hot" not in snap.summary
+        # the census fallback still sees every crossing bucket
+        n_pairs = store.read_bands(spark).select("band", "bucket").distinct().count()
+        assert n_pairs > SignatureStore.MAX_HOT_LIST
+        assert store.hot_buckets(spark, 0).count() == n_pairs
+
     def test_repair_restores_missing_band_rows(self, spark, tmp_path):
         """The OTHER half of the crash window: signatures committed but the
         bands commit crashed (inside store.append). The corpus==signatures
