@@ -961,6 +961,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_lsh_topk"] = emb_lsh_topk
 
+    def _ann_store_for(spark, sf, kind):
+        # persisted-index twin of the emb_*_topk queries: the corpus is
+        # indexed ONCE (two appends, so the contract certifies the
+        # INCREMENTAL path) into an AnnIndexStore under a per-sf temp root,
+        # and the query runs against the committed postings — no corpus
+        # re-hash. Reused across invocations while the manifest row count
+        # matches the embeddings parquet footer (bench reruns hit the
+        # committed index, which is the behavior being measured); any
+        # testdata regeneration rebuilds.
+        import hashlib
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from dsm2dtm_spark.operators.annstore import AnnIndexStore
+
+        n_rows = pq.ParquetFile(os.path.join(sf, "embeddings.parquet")).metadata.num_rows
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"q_annstore_{kind}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}",
+        )
+        store = AnnIndexStore(root)
+        if store.exists() and store.row_count() == n_rows:
+            return store
+        shutil.rmtree(root, ignore_errors=True)
+        # defaults == the in-flight operators' quantizer (ivf: 16 centroids
+        # seed 13; lsh: 6 planes × 8 tables seed 7) == the materialized
+        # ann_centroids/ann_planes oracle twins
+        store = AnnIndexStore.create(root, kind=kind)
+        e = _t(spark, sf, "embeddings")
+        store.append(e.filter(F.col("vec_id") % 2 == 0))
+        store.append(e.filter(F.col("vec_id") % 2 == 1))
+        return store
+
+    def emb_ivf_topk_persisted(spark, sf):
+        # same plan shape and SAME ORACLE as emb_ivf_topk, but the inverted
+        # lists come from the COMMITTED AnnIndexStore (hive-partitioned
+        # postings) instead of an in-flight corpus re-hash — the driver
+        # certifies the persisted index returns identical tuples
+        return _ann_store_for(spark, sf, "ivf").topk(
+            spark,
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5).selectExpr(
+                "vec_id AS query_id", "embedding"
+            ),
+            k=5,
+            nprobe=4,
+        )
+
+    q["emb_ivf_topk_persisted"] = emb_ivf_topk_persisted
+
+    def emb_lsh_topk_persisted(spark, sf):
+        # persisted SRP index: narrow (vec_id, bucket) postings + a vectors
+        # table for the exact rerank; oracle identical to emb_lsh_topk
+        return _ann_store_for(spark, sf, "lsh").topk(
+            spark,
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5).selectExpr(
+                "vec_id AS query_id", "embedding"
+            ),
+            k=5,
+        )
+
+    q["emb_lsh_topk_persisted"] = emb_lsh_topk_persisted
+
     # ---------------- image table: metadata, cells, tiles, joins, kNN
 
     def img_meta_stats(spark, sf):
@@ -1984,6 +2048,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5
     """
+
+    # persisted-index twins: the AnnIndexStore commits the SAME quantizer
+    # bytes (centroids seed 13 / planes seed 7) the in-flight operators
+    # regenerate, so the committed index must return the identical tuples —
+    # one oracle covers both execution paths, and the driver certifies the
+    # persisted store independently of the in-flight query
+    o["emb_ivf_topk_persisted"] = o["emb_ivf_topk"]
+    o["emb_lsh_topk_persisted"] = o["emb_lsh_topk"]
 
     o["dtm_pipeline_metrics"] = f"""
         SELECT image_id, fmt, valid_in, valid_out

@@ -1,0 +1,329 @@
+"""Persisted, incrementally-maintained ANN index (VERDICT r5 #4).
+
+``ivf_topk``/``lsh_topk`` (operators/simsearch.py) are correct and
+deterministic but re-derive their quantizer and re-hash the whole corpus on
+EVERY invocation — at 10^12-vector scale the index build dominates query
+cost. ``AnnIndexStore`` applies the dedup SignatureStore pattern to the
+vector domain: the quantizer artifacts and the corpus's index assignments
+are committed ONCE at ingest and every query runs against the committed
+state, so steady-state cost is O(batch) at append time and
+O(postings streamed + queries) at query time — the corpus is never
+re-embedded, never re-hashed, and never shuffled.
+
+Layout under ``root`` (self-contained, survives spark-submit sessions):
+
+- ``index.json`` — manifest: kind (``'ivf'`` | ``'lsh'``), quantizer
+  parameters, embedding dim (fixed at first append), cumulative row count;
+  written atomically AFTER data commits (a crash leaves a stale-low count,
+  which is conservative).
+- ``centroids.parquet`` (ivf) / ``planes.parquet`` (lsh) — the KB-scale
+  quantizer, materialized at first append. Everything downstream — later
+  appends, queries, and the DuckDB contract oracles — derives from THESE
+  bytes, not from in-memory state, so the whole persisted pipeline is
+  SQL-replayable (__spark_entry__.py emb_*_topk_persisted).
+- ``postings/`` — SnapshotTable of index assignments:
+  - ivf: one row per vector ``(vec_id, embedding, list_id)``,
+    hive-partitioned by ``list_id`` (the inverted lists ARE the directory
+    layout — a probe of p lists touches p directories);
+  - lsh: ``n_tables`` narrow rows per vector ``(vec_id, bucket)`` — the
+    multi-table bucket index, embeddings NOT duplicated per table.
+- ``vectors/`` (lsh only) — SnapshotTable ``(vec_id, embedding)`` for the
+  exact rerank; streamed once per query batch against broadcast candidates.
+
+Scale shape at query time: queries explode to nprobe lists / n_tables
+buckets and BROADCAST against the streamed postings scan (equi-join on
+list/bucket — the classic inverted-index probe, never O(n·q)); candidates
+rerank exactly. Appends are one Arrow-batched matmul over the batch plus a
+snapshot commit. ``compact()`` folds per-append file pileup (postings keep
+their partition directories, so compaction cost is per-list).
+
+No reference analog (/root/reference has no vector operators) — this is
+the training-data-pipeline surface of the engine brief, built on
+sources/manifest.py snapshots like the dedup stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from dsm2dtm_spark.operators.simsearch import (
+    make_centroids,
+    make_planes,
+    srp_buckets_udf,
+    with_cosine,
+)
+from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+
+def _nearest_lists_udf(cents: np.ndarray, n_lists: int):
+    """Arrow-batched top-``n_lists`` nearest-centroid ids — numerically
+    identical to ivf_topk's in-flight assignment (normalize, dot, argsort
+    desc) so a store built with the same centroids returns the same lists."""
+    cents = np.ascontiguousarray(cents, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def lists(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :n_lists]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return lists
+
+
+class AnnIndexStore:
+    """See module docstring. Single-writer, like every snapshot table here."""
+
+    _KINDS = ("ivf", "lsh")
+
+    def __init__(self, root: str):
+        self.root = root
+        self.postings = SnapshotTable(os.path.join(root, "postings"))
+        self.vectors = SnapshotTable(os.path.join(root, "vectors"))
+
+    # --------------------------------------------------------- manifest
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "index.json")
+
+    def _meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path())
+
+    def exists(self) -> bool:
+        return bool(self._meta())
+
+    def params(self) -> dict:
+        return self._meta()
+
+    def row_count(self) -> int:
+        return self._meta().get("rows", 0)
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        kind: str = "ivf",
+        n_centroids: int = 16,
+        n_planes: int = 6,
+        n_tables: int = 8,
+        seed: int | None = None,
+        centroids: np.ndarray | None = None,
+    ) -> "AnnIndexStore":
+        """Bootstrap an empty index. The quantizer is derived at the FIRST
+        append (the embedding dim isn't known until data arrives) unless
+        ``centroids`` (e.g. from ``train_centroids``) is passed, in which
+        case it is committed immediately. ``seed`` defaults to the
+        simsearch module defaults (13 for ivf centroids, 7 for SRP planes)
+        so a default-built store is bit-identical to what the in-flight
+        operators regenerate — and to the contract's materialized
+        ann_centroids/ann_planes parquet twins."""
+        if kind not in cls._KINDS:
+            raise ValueError(f"kind must be one of {cls._KINDS}, got {kind!r}")
+        store = cls(root)
+        if store.exists():
+            raise ValueError(f"{root} already holds an AnnIndexStore ({store.params()['kind']})")
+        os.makedirs(root, exist_ok=True)
+        meta: dict = {"kind": kind, "rows": 0, "dim": None}
+        if kind == "ivf":
+            meta.update({"n_centroids": n_centroids, "seed": 13 if seed is None else seed})
+        else:
+            meta.update(
+                {"n_planes": n_planes, "n_tables": n_tables, "seed": 7 if seed is None else seed}
+            )
+        store._write_meta(meta)
+        if centroids is not None:
+            if kind != "ivf":
+                raise ValueError("explicit centroids only apply to kind='ivf'")
+            store._commit_quantizer(int(centroids.shape[1]), centroids)
+        return store
+
+    def _quantizer_path(self) -> str:
+        return os.path.join(
+            self.root, "centroids.parquet" if self._meta()["kind"] == "ivf" else "planes.parquet"
+        )
+
+    def _commit_quantizer(self, dim: int, centroids: np.ndarray | None = None) -> None:
+        """Materialize the quantizer for ``dim`` and pin the dim in the
+        manifest. ivf: (centroid_id, centroid); lsh: (table_id, plane_idx,
+        plane) — the exact twin layout the contract oracles read."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta = self._meta()
+        if meta["kind"] == "ivf":
+            cents = (
+                centroids
+                if centroids is not None
+                else make_centroids(dim, meta["n_centroids"], seed=meta["seed"])
+            )
+            rows = [{"centroid_id": i, "centroid": c.tolist()} for i, c in enumerate(cents)]
+            meta["n_centroids"] = len(cents)
+        else:
+            rows = [
+                {"table_id": t, "plane_idx": i, "plane": p[i].tolist()}
+                for t in range(meta["n_tables"])
+                for p in [make_planes(dim, meta["n_planes"], seed=meta["seed"] + 101 * t)]
+                for i in range(meta["n_planes"])
+            ]
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+            self._quantizer_path(),
+        )
+        meta["dim"] = dim
+        self._write_meta(meta)
+
+    def _load_centroids(self) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._quantizer_path()).to_pandas().sort_values("centroid_id")
+        return np.array([np.asarray(c, dtype=np.float64) for c in t["centroid"]])
+
+    # ----------------------------------------------------------- append
+
+    def append(
+        self,
+        vectors_df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """Index a batch: assign every vector to its inverted list (ivf) or
+        its per-table SRP buckets (lsh) — ONE Arrow matmul over the batch,
+        reading the COMMITTED quantizer bytes — and commit the postings
+        snapshot. Returns the batch row count. The first append fixes the
+        embedding dim; later appends with a different dim fail fast (mixed
+        dims would silently score garbage cosines)."""
+        meta = self._meta()
+        if not meta:
+            raise ValueError(f"{self.root} is not an AnnIndexStore (create() first)")
+        vectors_df = vectors_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).localCheckpoint(eager=True)
+        first = vectors_df.first()
+        if first is None:
+            return 0
+        dim = len(first["embedding"])
+        if meta["dim"] is None:
+            self._commit_quantizer(dim)
+            meta = self._meta()
+        elif dim != meta["dim"]:
+            raise ValueError(
+                f"AnnIndexStore at {self.root} indexes {meta['dim']}-dim vectors; "
+                f"this batch is {dim}-dim — rebuild or fix the pipeline."
+            )
+        n = vectors_df.count()  # checkpointed blocks — cheap
+        if meta["kind"] == "ivf":
+            assign = _nearest_lists_udf(self._load_centroids(), 1)
+            postings = vectors_df.select(
+                "vec_id", "embedding", F.element_at(assign(F.col("embedding")), 1).alias("list_id")
+            )
+            self.postings.write_dataframe(postings, partition_by=["list_id"])
+        else:
+            bk = srp_buckets_udf(meta["n_planes"], meta["n_tables"], seed=meta["seed"])
+            postings = vectors_df.select(
+                "vec_id", F.explode(bk(F.col("embedding"))).alias("bucket")
+            )
+            self.postings.write_dataframe(postings)
+            self.vectors.write_dataframe(vectors_df)
+        meta["rows"] = meta.get("rows", 0) + n
+        self._write_meta(meta)
+        return n
+
+    # ------------------------------------------------------------ query
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Approximate cosine top-k against the COMMITTED index: the corpus
+        side is a plain postings scan (no UDF, no re-hash — plan-pinned in
+        tests/test_annstore.py); only the query batch runs through the
+        quantizer. Same output contract as ivf_topk/lsh_topk:
+        (query_id, neighbor_id, cosine, rank)."""
+        meta = self._meta()
+        if not meta.get("dim"):
+            raise ValueError(f"AnnIndexStore at {self.root} has no committed vectors")
+        q_base = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+        )
+        if meta["kind"] == "ivf":
+            probe = _nearest_lists_udf(self._load_centroids(), nprobe)
+            q = q_base.select(
+                "query_id", "qvec", F.explode(probe(F.col("qvec"))).alias("list_id")
+            )
+            c = self.postings.read(spark).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cvec"),
+                F.col("list_id").cast("int").alias("list_id"),
+            )
+            pairs = c.join(F.broadcast(q), on="list_id")
+        else:
+            bk = srp_buckets_udf(meta["n_planes"], meta["n_tables"], seed=meta["seed"])
+            q = q_base.select("query_id", "qvec", F.explode(bk(F.col("qvec"))).alias("bucket"))
+            cand = (
+                self.postings.read(spark)
+                .join(F.broadcast(q.select("query_id", "bucket")), on="bucket")
+                .select("query_id", "vec_id")
+                .dropDuplicates(["query_id", "vec_id"])
+            )
+            pairs = (
+                self.vectors.read(spark)
+                .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+                .join(
+                    F.broadcast(
+                        cand.join(q_base, on="query_id").select(
+                            "query_id", "qvec", F.col("vec_id").alias("neighbor_id")
+                        )
+                    ),
+                    on="neighbor_id",
+                )
+            )
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+        scored = with_cosine(pairs, "qvec", "cvec")
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    # ------------------------------------------------------ maintenance
+
+    def compact(self, spark: SparkSession, **kwargs) -> dict:
+        """Fold per-append small-file pileup in the postings (and lsh
+        vectors) tables — partition directories survive, so the inverted-
+        list layout is untouched. Same maintenance surface as the dedup
+        stores (jobs/maintain_tables.py)."""
+        out: dict = {}
+        p = self.postings.compact(spark, **kwargs)
+        out["postings"] = p.summary.get("compacted", 0) if p else 0
+        if self._meta().get("kind") == "lsh" and self.vectors.current_snapshot() is not None:
+            v = self.vectors.compact(spark, **kwargs)
+            out["vectors"] = v.summary.get("compacted", 0) if v else 0
+        return out

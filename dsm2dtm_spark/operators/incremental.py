@@ -530,7 +530,13 @@ class BucketedSignatureStore:
         only; the next scan re-lists once."""
         import os
 
-        for kind, entry in self._meta().get("tables", {}).items():
+        meta = self._meta()
+        # a re-bucketing compact in ANOTHER session changed the bucket spec;
+        # registering with this session's stale count would mis-assign every
+        # row to buckets at read time (wrong pruning, wrong join alignment)
+        if meta.get("n_buckets"):
+            self.n_buckets = meta["n_buckets"]
+        for kind, entry in meta.get("tables", {}).items():
             name = self._table_name(kind)
             if not spark.catalog.tableExists(name):
                 self._register(spark, kind, entry)
@@ -665,57 +671,141 @@ class BucketedSignatureStore:
             self._write_meta(meta)
         return n or 0
 
-    def compact(self, spark, **kwargs) -> dict:
-        """Fold the many small per-append bucket files into one file per
-        bucket (rewrite into the NEXT versioned location with the same
-        bucket spec, then swap the catalog entry and manifest pointer) —
-        restores the sorted-within-bucket property that lets the bucketed
-        SMJ skip its per-partition Sort. Old version directories (and any
-        half-written orphans from a crashed compact) are swept after the
-        manifest commit. Census partials roll up like the parent store's.
+    # bucket id is encoded in the bucket-file name Spark writes:
+    # part-<split>-<uuid>_<bucket:05d>.c<n>.snappy.parquet
+    _BUCKET_FILE_RE = r"_(\d{5})\.c\d{3}"
 
-        COST: this is a FULL-TABLE rewrite (unlike SnapshotTable.compact,
-        which folds only sub-threshold files) — schedule it sparingly at
-        warehouse scale. The exchange-free join property does NOT degrade
-        with append pileup (bucket pruning is by file-name bucket id);
-        only the sort-elision does, and a per-partition Sort over one
-        bucket's rows is cheap relative to the join it feeds."""
+    @staticmethod
+    def _bucket_id_expr(cols: list[str], n_buckets: int):
+        """The bucket-id expression Spark's bucketed writer uses:
+        pmod(Murmur3Hash(cols, seed=42), n) — SQL ``hash()`` is the same
+        Murmur3 (pinned empirically against written bucket-file names in
+        tests/test_bucketed_store.py). Documentation of the layout only:
+        compaction groups files by NAME and rewrites by VALUE, so its
+        correctness never rides on this equivalence."""
+        return F.expr(f"pmod(hash({', '.join(cols)}), {n_buckets})")
+
+    def _files_by_bucket(self, kind: str, version: int) -> dict[int, list[str]]:
+        import os
+        import re
+
+        loc = self._location(kind, version)
+        out: dict[int, list[str]] = {}
+        for f in os.listdir(loc):
+            m = re.search(self._BUCKET_FILE_RE, f)
+            if m and f.endswith(".parquet"):
+                out.setdefault(int(m.group(1)), []).append(f)
+        return out
+
+    def compact(
+        self,
+        spark,
+        n_buckets: int | None = None,
+        max_files_per_bucket: int = 1,
+        **kwargs,
+    ) -> dict:
+        """Fold per-append bucket-file pileup — INCREMENTALLY by default
+        (VERDICT r5 #3): only buckets holding more than
+        ``max_files_per_bucket`` files are rewritten (folded to one sorted
+        file each); every other bucket's files are hard-linked unchanged
+        into the next versioned location, so steady-state maintenance cost
+        is proportional to the buckets recent appends actually touched,
+        not to the table. The catalog entry and manifest pointer swap
+        atomically per sub-table; old version directories (and any
+        half-written orphans from a crashed compact) are swept after the
+        manifest commit (links keep survivor bytes alive). Restores the
+        sorted-within-bucket property that lets the bucketed SMJ skip its
+        per-partition Sort. Census partials roll up like the parent
+        store's. A sub-table with no over-threshold bucket is untouched.
+
+        ``n_buckets`` — bucket-count EVOLUTION (VERDICT r5 #2): rewrite
+        BOTH sub-tables into a new bucket spec (necessarily a full rewrite:
+        every row can change buckets) and record it in the manifest, which
+        every later session's registration honors. A store bootstrapped at
+        16 buckets that grew to 10^12 rows would otherwise cap every
+        stored-side scan at 16 tasks forever — re-bucket instead of
+        rebuilding. The exchange-free join property survives both paths
+        (it rides on the catalog bucket spec, re-verified by plan tests);
+        only dormant appends pay anything, and nothing is re-shingled."""
         import glob
+        import os
         import shutil
 
         self._ensure_registered(spark)
-        out = {}
+        out: dict = {}
         meta = self._meta()
         if not meta.get("tables"):
             # empty store (or a mistyped --store path): a maintenance pass
             # must be a no-op — writing an empty manifest here would
             # permanently mark the root as bucketed-layout
             return {"signatures": 0, "bands": 0}
+        rebucket = n_buckets is not None and n_buckets != self.n_buckets
+        target = n_buckets if rebucket else self.n_buckets
         for kind, cols in self._BUCKET_COLS.items():
             name = self._table_name(kind)
             entry = meta.get("tables", {}).get(kind)
             if entry is None or not spark.catalog.tableExists(name):
                 out[kind] = 0
                 continue
+            by_bucket = self._files_by_bucket(kind, entry["version"])
+            if rebucket:
+                hot = set(by_bucket)  # every row can move: rewrite all
+            else:
+                hot = {b for b, fs in by_bucket.items() if len(fs) > max_files_per_bucket}
+                if not hot:
+                    out[kind] = 0
+                    continue
             new_version = entry["version"] + 1
             new_loc = self._location(kind, new_version)
             shutil.rmtree(new_loc, ignore_errors=True)  # crashed-compact orphan
             tmp = f"{name}__rewrite"
             spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            old_loc = self._location(kind, entry["version"])
+            if rebucket:
+                src = spark.table(name)  # every row can change buckets
+            else:
+                # hot buckets only, READ BY EXPLICIT FILE PATH: IO is
+                # proportional to the piled-up bytes, never the table —
+                # and a path read claims no output partitioning, so the
+                # aligning repartition below is a real Exchange (a
+                # catalog-table read advertises the bucket spec, which
+                # makes Catalyst ELIDE the repartition while separately
+                # auto-disabling the bucketed scan — misaligned tasks,
+                # two files per bucket; found empirically)
+                src = spark.read.parquet(
+                    *[os.path.join(old_loc, f) for b in sorted(hot) for f in by_bucket[b]]
+                )
             (
-                spark.table(name)
-                .repartition(self.n_buckets, *[F.col(c) for c in cols])
+                src.repartition(target, *[F.col(c) for c in cols])
                 .write.mode("overwrite")
                 .option("path", new_loc)
-                .bucketBy(self.n_buckets, *cols)
+                .bucketBy(target, *cols)
                 .sortBy(*cols)
                 .format("parquet")
                 .saveAsTable(tmp)
             )
+            linked = 0
+            for b, fs in by_bucket.items():
+                if b in hot:
+                    continue
+                for f in fs:  # cold buckets: link bytes, never rewrite
+                    try:
+                        os.link(os.path.join(old_loc, f), os.path.join(new_loc, f))
+                    except OSError:  # cross-device fs: fall back to copy
+                        shutil.copy2(os.path.join(old_loc, f), os.path.join(new_loc, f))
+                    linked += 1
             spark.sql(f"DROP TABLE {name}")  # external: catalog entry only
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")  # keeps new_loc
+            if linked:
+                # the table's cached file index predates the linked files
+                spark.catalog.refreshTable(name)
             entry["version"] = new_version
             out[kind] = 1
+            out[f"{kind}_buckets_rewritten"] = len(hot)
+            out[f"{kind}_files_linked"] = linked
+        if rebucket:
+            meta["n_buckets"] = target
+            self.n_buckets = target
         self._write_meta(meta)
         # sweep every version directory the manifest no longer references
         for kind, entry in meta.get("tables", {}).items():

@@ -283,47 +283,55 @@ class SnapshotTable:
         as ONE new snapshot (remove+add atomically). Small files are the
         classic warehouse failure mode — every incremental/streaming commit
         adds a few, and a year later the scan spends longer listing footers
-        than reading data. Only root-level (non-hive-partitioned) files are
-        compacted; partitioned layouts compact per partition out of scope
-        here. ``sort_by`` optionally clusters rows (e.g. by cell id) during
-        the rewrite so the new footers' min/max become tight and
-        ``read(where=...)`` file skipping gets sharper. Time travel to
-        pre-compaction snapshots keeps working — replaced files stay on disk
-        until ``expire_snapshots`` drops the snapshots that reference them.
-        Returns the new snapshot, or None when there is nothing to do."""
+        than reading data. Hive-partitioned layouts (from a ``partition_by``
+        write) compact PER PARTITION DIRECTORY: each partition's small files
+        fold among themselves and the rewritten files stay under the same
+        ``col=value`` path, so partition pruning is untouched and untouched
+        partitions cost nothing. ``sort_by`` optionally clusters rows (e.g.
+        by cell id) during the rewrite so the new footers' min/max become
+        tight and ``read(where=...)`` file skipping gets sharper. Time
+        travel to pre-compaction snapshots keeps working — replaced files
+        stay on disk until ``expire_snapshots`` drops the snapshots that
+        reference them. Returns the new snapshot, or None when there is
+        nothing to do."""
         cur = self.current_snapshot()
         if cur is None:
             return None
-        small = [
-            f
-            for f in cur.files
-            if os.path.dirname(f) in ("", ".")
-            and os.path.getsize(os.path.join(self.data_dir, f)) < small_file_bytes
-        ]
-        if len(small) < 2:
+        groups: dict[str, list[str]] = {}
+        for f in cur.files:
+            if os.path.getsize(os.path.join(self.data_dir, f)) < small_file_bytes:
+                d = os.path.dirname(f)
+                groups.setdefault("" if d == "." else d, []).append(f)
+        groups = {d: fs for d, fs in groups.items() if len(fs) >= 2}
+        if not groups:
             return None
-        total = sum(os.path.getsize(os.path.join(self.data_dir, f)) for f in small)
-        n_out = max(1, math.ceil(total / target_file_bytes))
-        df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in small])
-        if sort_by:  # range-cluster: tight per-file min/max for file skipping
-            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
-        else:
-            df = df.coalesce(n_out)
+        small_all: list[str] = []
+        new_files: list[str] = []
         scratch = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         try:
-            df.write.mode("overwrite").parquet(scratch)
-            new_files = []
-            for fn in sorted(os.listdir(scratch)):
-                if fn.endswith(".parquet"):
-                    rel = f"{uuid.uuid4().hex}.parquet"
-                    shutil.move(os.path.join(scratch, fn), os.path.join(self.data_dir, rel))
-                    new_files.append(rel)
-            survivors = [f for f in cur.files if f not in set(small)]
+            for d, small in sorted(groups.items()):
+                total = sum(os.path.getsize(os.path.join(self.data_dir, f)) for f in small)
+                n_out = max(1, math.ceil(total / target_file_bytes))
+                df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in small])
+                if sort_by:  # range-cluster: tight per-file min/max for file skipping
+                    df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+                else:
+                    df = df.coalesce(n_out)
+                df.write.mode("overwrite").parquet(scratch)
+                if d:
+                    os.makedirs(os.path.join(self.data_dir, d), exist_ok=True)
+                for fn in sorted(os.listdir(scratch)):
+                    if fn.endswith(".parquet"):
+                        rel = os.path.join(d, f"{uuid.uuid4().hex}.parquet") if d else f"{uuid.uuid4().hex}.parquet"
+                        shutil.move(os.path.join(scratch, fn), os.path.join(self.data_dir, rel))
+                        new_files.append(rel)
+                small_all.extend(small)
+            survivors = [f for f in cur.files if f not in set(small_all)]
             return self._commit_file_set(
                 survivors + new_files,
                 new_files,
                 "compact",
-                {"compacted": len(small), "into": len(new_files)},
+                {"compacted": len(small_all), "into": len(new_files)},
             )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

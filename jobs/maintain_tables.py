@@ -11,7 +11,8 @@ of it in one sequential pass:
     spark-submit --py-files engine.zip jobs/maintain_tables.py \
         [--table /path/to/snapshot_table]... [--sort-by cell_id] \
         [--store /path/to/sigstore [--bucketed-store] \
-         [--repair-corpus /path/to/corpus_table]] \
+         [--repair-corpus /path/to/corpus_table] \
+         [--store-n-buckets 64] [--store-max-files-per-bucket 1]] \
         [--small-file-mb 32] [--target-file-mb 128] \
         [--expire-keep-last 3] [--cores 32]
 
@@ -24,10 +25,15 @@ of it in one sequential pass:
 - `--store`: the matching store class's `compact()` — the plain store
   folds its three sub-tables (bands clustered by bucket for sharp footer
   min/max) and rolls up the hot-bucket census; the bucketed store
-  rewrites each sub-table into the next versioned location (one sorted
-  file per bucket — restoring the exchange-free SMJ's sort-free read),
-  swaps the catalog entry + manifest pointer, and sweeps old/orphan
-  version directories. Store layout is auto-guarded: opening with the
+  INCREMENTALLY folds only buckets whose per-append file pileup exceeds
+  `--store-max-files-per-bucket` into the next versioned location
+  (cold buckets hard-link across, unread and unwritten — restoring the
+  exchange-free SMJ's sort-free read at cost proportional to recent
+  appends, not the table), swaps the catalog entry + manifest pointer,
+  and sweeps old/orphan version directories; `--store-n-buckets N`
+  re-buckets BOTH sub-tables into a new bucket count (a deliberate full
+  rewrite — how a store bootstrapped small evolves its read parallelism
+  as it grows, instead of being rebuilt). Store layout is auto-guarded: opening with the
   wrong flag fails fast rather than touching anything. `--repair-corpus`
   additionally runs the store self-heal against that corpus table BEFORE
   compacting (footer watermarks; re-signs/re-bands only what a crashed
@@ -57,6 +63,8 @@ def run_maintenance(
     expire_keep_last: int = 3,
     sort_by: str | None = None,
     repair_corpus: str | None = None,
+    store_n_buckets: int | None = None,
+    store_max_files_per_bucket: int = 1,
 ) -> dict:
     """Compact each snapshot table (then expire old snapshots) and the
     dedup store, sequentially. Returns the per-target count report the CLI
@@ -95,7 +103,10 @@ def run_maintenance(
                 method=sp.get("method", "xxhash64"),
             )
         kwargs = (
-            {}
+            {
+                "n_buckets": store_n_buckets,
+                "max_files_per_bucket": store_max_files_per_bucket,
+            }
             if bucketed
             else {
                 "small_file_bytes": small_file_mb << 20,
@@ -121,6 +132,20 @@ def main():
         "--repair-corpus",
         default=None,
         help="corpus snapshot-table root: run the store self-heal against it before compacting",
+    )
+    ap.add_argument(
+        "--store-n-buckets",
+        type=int,
+        default=None,
+        help="bucketed store only: re-bucket BOTH sub-tables into this bucket "
+        "count (full rewrite; manifest records it for every later session)",
+    )
+    ap.add_argument(
+        "--store-max-files-per-bucket",
+        type=int,
+        default=1,
+        help="bucketed store only: rewrite only buckets holding more files "
+        "than this (cold buckets are hard-linked, not rewritten)",
     )
     ap.add_argument(
         "--sort-by", default=None, help="range-cluster table rows by this column during compaction"
@@ -151,6 +176,8 @@ def main():
         expire_keep_last=args.expire_keep_last,
         sort_by=args.sort_by,
         repair_corpus=args.repair_corpus,
+        store_n_buckets=args.store_n_buckets,
+        store_max_files_per_bucket=args.store_max_files_per_bucket,
     )
     print(json.dumps(report))
     spark.stop()

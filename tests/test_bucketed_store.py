@@ -406,3 +406,161 @@ class TestBucketedStore:
         ids = sc.statusTracker().getJobIdsForGroup("repair-hw-bucketed")
         sc.setJobGroup(None, None)
         assert list(ids) == []
+
+
+class TestBucketEvolution:
+    """Round-6 store maintenance: incremental per-bucket compaction (only
+    piled-up buckets rewritten; cold buckets hard-link across versions) and
+    bucket-count evolution (compact(n_buckets=...) re-buckets both
+    sub-tables and records the new spec in the manifest for every later
+    session). VERDICT r5 #2/#3."""
+
+    SP = {"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}}
+
+    def _batch(self, spark, lo, hi):
+        return _df(
+            spark, [(i, f"wholly distinct document {i} about topic {i * 31}") for i in range(lo, hi)]
+        )
+
+    def test_bucket_id_expr_matches_written_file_names(self, spark, tmp_path):
+        """The incremental path addresses buckets with pmod(hash(cols), n)
+        (SQL hash == the writer's Murmur3 seed 42) — verified here against
+        the bucket ids Spark actually encoded in the file names; if this
+        ever drifted, hot-bucket filtering would silently drop/duplicate
+        rows at compaction."""
+        import os
+
+        store = BucketedSignatureStore(str(tmp_path / "hashchk"), n_buckets=4)
+        store.append(sign_documents(self._batch(spark, 0, 30), method="md5"), summary=self.SP)
+        for kind, cols in BucketedSignatureStore._BUCKET_COLS.items():
+            version = store._meta()["tables"][kind]["version"]
+            loc = store._location(kind, version)
+            for bucket_id, files in store._files_by_bucket(kind, version).items():
+                for f in files:
+                    got = (
+                        spark.read.parquet(os.path.join(loc, f))
+                        .select(store._bucket_id_expr(cols, 4).alias("b"))
+                        .distinct()
+                        .collect()
+                    )
+                    assert [r.b for r in got] == [bucket_id], (kind, f)
+
+    def test_incremental_compact_rewrites_only_hot_buckets(self, spark, tmp_path):
+        """Steady-state maintenance cost must track the buckets recent
+        appends touched, not the table: after a fold, a single-doc append
+        piles files onto ONE signature bucket — the next compact rewrites
+        exactly that bucket and hard-links every cold file byte-for-byte
+        (same inode) into the new version."""
+        import os
+
+        store = BucketedSignatureStore(str(tmp_path / "inc"), n_buckets=4)
+        store.append(sign_documents(self._batch(spark, 0, 15), method="md5"), summary=self.SP)
+        store.append(sign_documents(self._batch(spark, 15, 30), method="md5"), summary=self.SP)
+        assert store.compact(spark)["signatures"] == 1
+        v = store._meta()["tables"]["signatures"]["version"]
+        # the fold really is ONE file per bucket: the aligning repartition
+        # must survive planning (Catalyst elides it over a catalog-table
+        # read — the path-read source exists precisely to keep it)
+        assert all(len(fs) == 1 for fs in store._files_by_bucket("signatures", v).values())
+        store.append(sign_documents(self._batch(spark, 100, 101), method="md5"), summary=self.SP)
+
+        by_bucket = store._files_by_bucket("signatures", v)
+        hot = [b for b, fs in by_bucket.items() if len(fs) > 1]
+        assert len(hot) == 1  # one fingerprint -> one piled-up bucket
+        loc = store._location("signatures", v)
+        cold_inodes = {
+            os.stat(os.path.join(loc, f)).st_ino
+            for b, fs in by_bucket.items()
+            if b not in hot
+            for f in fs
+        }
+        n_cold = len(cold_inodes)
+
+        res = store.compact(spark)
+        assert res["signatures_buckets_rewritten"] == 1
+        assert res["signatures_files_linked"] == n_cold
+        new_loc = store._location("signatures", v + 1)
+        linked_inodes = {
+            os.stat(os.path.join(new_loc, f)).st_ino for f in os.listdir(new_loc)
+        } & cold_inodes
+        assert linked_inodes == cold_inodes  # cold bytes moved by link, not rewrite
+        assert not os.path.exists(loc)  # old version swept after manifest commit
+
+        assert store.read_signatures(spark).count() == 31
+        assert store.read_bands(spark).count() == 31 * 4
+        # the store still answers — and still reads bucketed
+        with _no_auto_broadcast(spark):
+            jp = store.read_signatures(spark).join(
+                _df(spark, FRESH).select(F.md5("text").alias("fingerprint")), on="fingerprint"
+            )
+            plan = jp._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_compact_noop_when_no_bucket_piled_up(self, spark, tmp_path):
+        """A freshly folded store has nothing over threshold: the next
+        maintenance pass must not rewrite (or even re-link) anything —
+        the version directories stay untouched."""
+        store = BucketedSignatureStore(str(tmp_path / "noop"), n_buckets=4)
+        store.append(sign_documents(self._batch(spark, 0, 20), method="md5"), summary=self.SP)
+        store.compact(spark)
+        v = store._meta()["tables"]["signatures"]["version"]
+        res = store.compact(spark)
+        assert res == {"signatures": 0, "bands": 0}
+        assert store._meta()["tables"]["signatures"]["version"] == v
+
+    def test_rebucket_evolution(self, spark, tmp_path):
+        """compact(n_buckets=16) on a store created at 4: decisions are
+        unchanged, the exchange-free stored-side read property survives at
+        the NEW bucket count, and a fresh session (catalog loss) registers
+        with 16 — the constructor's stale default loses to the manifest."""
+        root = str(tmp_path / "evolve")
+        store = BucketedSignatureStore(root, n_buckets=4)
+        incremental_dedup(store, _df(spark, CORPUS), method="md5", broadcast_fresh=False)
+
+        res = store.compact(spark, n_buckets=16)
+        assert res["signatures_buckets_rewritten"] >= 1
+        assert res["signatures_files_linked"] == 0  # every row can move: full rewrite
+        assert store.n_buckets == 16
+        assert store._meta()["n_buckets"] == 16
+
+        with _no_auto_broadcast(spark):
+            jp = store.read_signatures(spark).join(
+                _df(spark, FRESH).select(F.md5("text").alias("fingerprint")), on="fingerprint"
+            )
+            plan = jp._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange hashpartitioning") == 1
+        got = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup(
+                store, _df(spark, FRESH), method="md5", broadcast_fresh=False
+            ).collect()
+        }
+        assert got == {100: "exact", 101: "near", 102: "keep", 103: "keep"}
+
+        # fresh-session registration (simulated by catalog drop) honors the
+        # EVOLVED spec even when the constructor passes the stale count
+        spark.sql(f"DROP TABLE {store.sig_table}")
+        spark.sql(f"DROP TABLE {store.bands_table}")
+        reopened = BucketedSignatureStore(root, n_buckets=4)
+        assert reopened.n_buckets == 16
+        assert reopened.read_signatures(spark).count() == 6  # 4 corpus + kept 102/103
+        row = (
+            spark.sql(f"DESCRIBE FORMATTED {reopened.sig_table}")
+            .filter("col_name = 'Num Buckets'")
+            .collect()
+        )
+        assert row and row[0].data_type.strip() == "16"
+
+    def test_rebucket_seen_by_stale_open_store_object(self, spark, tmp_path):
+        """A store handle opened BEFORE another session's re-bucketing
+        compact must pick up the new spec on its next registered read —
+        registering with the stale count would mis-bucket every row."""
+        root = str(tmp_path / "stale")
+        store = BucketedSignatureStore(root, n_buckets=4)
+        incremental_dedup(store, _df(spark, CORPUS), method="md5", broadcast_fresh=False)
+        other = BucketedSignatureStore(root)
+        other.compact(spark.newSession(), n_buckets=8)
+        assert store.read_signatures(spark).count() == 4  # re-registered at v1/8
+        assert store.n_buckets == 8

@@ -71,7 +71,8 @@ class TestMaintainJob:
         v0 = store._location("signatures", 0)
         report = run_maintenance(spark, [], store_root=root, bucketed=True)
         # no bucket_cap configured -> no census table to roll up
-        assert report["store"] == {"signatures": 1, "bands": 1}
+        assert report["store"]["signatures"] == 1 and report["store"]["bands"] == 1
+        assert "bucket_stats" not in report["store"]
         assert store.read_signatures(spark).count() == before
         assert not os.path.exists(v0)  # version bumped, old dir swept
         with pytest.raises(ValueError, match="BucketedSignatureStore"):

@@ -108,3 +108,39 @@ class TestCompaction:
         pruned = t.read(spark, where=[("k", "<", 100)])
         assert len(pruned.inputFiles()) < len(snap.files)  # skipping now works
         assert sorted(r.k for r in pruned.collect()) == list(range(100))
+
+    def test_compact_partitioned_layout_per_directory(self, spark, tmp_path):
+        """Hive-partitioned tables compact PER partition dir: each
+        partition's small files fold among themselves, rewritten files stay
+        under the same col=value path (pruning untouched), and a partition
+        with a single file is not rewritten."""
+        import os
+
+        t = SnapshotTable(str(tmp_path / "cp"))
+        # 3 appends hit partitions k=0/1; one append adds a lone k=2 file
+        for i in range(3):
+            t.write_dataframe(
+                spark.createDataFrame(
+                    pd.DataFrame({"k": [0, 1], "v": [10 * i, 10 * i + 1]})
+                ).repartition(2, "k"),
+                partition_by=["k"],
+            )
+        t.write_dataframe(
+            spark.createDataFrame(pd.DataFrame({"k": [2], "v": [99]})), partition_by=["k"]
+        )
+        before = t.current_snapshot()
+        lone = [f for f in before.files if f.startswith("k=2")]
+        assert len(lone) == 1
+        assert sum(1 for f in before.files if f.startswith("k=0")) == 3
+        snap = t.compact(spark)
+        assert snap.summary["compacted"] == 6  # k=0 and k=1 folded, k=2 untouched
+        dirs = {os.path.dirname(f) for f in snap.files}
+        assert dirs == {"k=0", "k=1", "k=2"}
+        assert sum(1 for f in snap.files if f.startswith("k=0")) == 1
+        assert lone[0] in snap.files  # the lone file survives by reference
+        got = {(r.k, r.v) for r in t.read(spark).collect()}
+        assert got == {(0, 0), (1, 1), (0, 10), (1, 11), (0, 20), (1, 21), (2, 99)}
+        # partition pruning still works on the compacted layout (the rel
+        # dirs survived, so the scan keeps its partition filter)
+        plan = t.read(spark).filter("k = 1")._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(k" in plan or "(k#" in plan.split("PartitionFilters: [")[1].split("]")[0]
