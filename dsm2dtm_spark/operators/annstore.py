@@ -327,3 +327,13 @@ class AnnIndexStore:
             v = self.vectors.compact(spark, **kwargs)
             out["vectors"] = v.summary.get("compacted", 0) if v else 0
         return out
+
+    def expire(self, keep_last: int) -> dict:
+        """Drop old snapshot manifests (and the data files only they
+        reference) from the postings/vectors sub-tables — the append loop
+        commits one snapshot per batch, so a year of batches otherwise
+        keeps a year of manifests alive."""
+        out = {"postings": len(self.postings.expire_snapshots(keep_last))}
+        if self._meta().get("kind") == "lsh" and self.vectors.current_snapshot() is not None:
+            out["vectors"] = len(self.vectors.expire_snapshots(keep_last))
+        return out

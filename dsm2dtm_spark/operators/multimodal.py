@@ -126,20 +126,44 @@ _ADAM7_PASSES = (
 def _unfilter_block(raw: bytes, offset: int, n_rows: int, n_px: int, channels: int):
     """Unfilter one independently-filtered scanline block (the whole image,
     or one Adam7 pass: the filter predecessor resets to zero at each block
-    start). Returns (uint8 (n_rows, n_px, channels), next_offset)."""
+    start). Returns (uint8 (n_rows, n_px, channels), next_offset).
+
+    Runs of consecutive None(0)/Up(2) rows decode as single numpy ops —
+    filter-0 rows are independent, and a run of Up rows is a wrapping
+    cumulative sum along y seeded by the run's predecessor — so the common
+    libpng output (long 0/2 stretches) never loops per row; only 1/3/4
+    rows (left-pixel dependency) fall back to the per-scanline path."""
     stride = 1 + channels * n_px
-    if len(raw) < offset + n_rows * stride:
+    end = offset + n_rows * stride
+    if len(raw) < end:
         raise ValueError("PNG pixel data truncated")
-    prev = np.zeros(channels * n_px, dtype=np.uint8)
-    rows = []
-    for i in range(n_rows):
-        line = raw[offset + i * stride : offset + (i + 1) * stride]
-        cur = np.frombuffer(line[1:], dtype=np.uint8).copy()
-        cur = _unfilter_scanline(line[0], cur, prev, channels)
-        prev = cur
-        rows.append(cur.reshape(n_px, channels))
-    block = np.stack(rows) if rows else np.empty((0, n_px, channels), dtype=np.uint8)
-    return block, offset + n_rows * stride
+    width = channels * n_px
+    if n_rows == 0:
+        return np.empty((0, n_px, channels), dtype=np.uint8), end
+    blk = np.frombuffer(raw, dtype=np.uint8, count=n_rows * stride, offset=offset).reshape(
+        n_rows, stride
+    )
+    ftypes = blk[:, 0]
+    data = blk[:, 1:]
+    out = np.empty((n_rows, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
+    i = 0
+    while i < n_rows:
+        f = int(ftypes[i])
+        if f == 0 or f == 2:
+            j = i + 1
+            while j < n_rows and ftypes[j] == f:
+                j += 1
+            out[i:j] = data[i:j]
+            if f == 2:  # Up: wrapping cumsum along y, seeded by prev
+                out[i] += prev
+                np.add.accumulate(out[i:j], axis=0, out=out[i:j])
+            i = j
+        else:
+            out[i] = _unfilter_scanline(f, data[i], prev, channels)
+            i += 1
+        prev = out[i - 1]
+    return out.reshape(n_rows, n_px, channels), end
 
 
 def decode_png_rgb8(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:

@@ -13,6 +13,7 @@ of it in one sequential pass:
         [--store /path/to/sigstore [--bucketed-store] \
          [--repair-corpus /path/to/corpus_table] \
          [--store-n-buckets 64] [--store-max-files-per-bucket 1]] \
+        [--ann-store /path/to/annindex]... \
         [--small-file-mb 32] [--target-file-mb 128] \
         [--expire-keep-last 3] [--cores 32]
 
@@ -40,6 +41,9 @@ of it in one sequential pass:
   ingest actually lost) using the signature parameters the store itself
   recorded — useful after restoring a store from backup, when the next
   scheduled ingest is far away.
+- each `--ann-store` (repeatable): `AnnIndexStore.compact()` — per-append
+  posting files fold within their inverted-list partition directories
+  (layout and pruning untouched), then old snapshots expire.
 
 Safe to run between ingests (single-writer discipline, same as the ingest
 job itself); every compaction is an atomic commit, so a crash mid-pass
@@ -65,6 +69,7 @@ def run_maintenance(
     repair_corpus: str | None = None,
     store_n_buckets: int | None = None,
     store_max_files_per_bucket: int = 1,
+    ann_stores: list[str] | None = None,
 ) -> dict:
     """Compact each snapshot table (then expire old snapshots) and the
     dedup store, sequentially. Returns the per-target count report the CLI
@@ -114,6 +119,25 @@ def run_maintenance(
             }
         )
         report["store"] = store.compact(spark, **kwargs)
+    if ann_stores:
+        from dsm2dtm_spark.operators.annstore import AnnIndexStore
+
+        report["ann_stores"] = {}
+        for root in ann_stores:
+            ann = AnnIndexStore(root)
+            if not ann.exists():
+                # mistyped path: a maintenance pass must be a no-op, same
+                # contract as the dedup stores
+                report["ann_stores"][root] = {"postings": 0}
+                continue
+            r = ann.compact(
+                spark,
+                small_file_bytes=small_file_mb << 20,
+                target_file_bytes=target_file_mb << 20,
+            )
+            if expire_keep_last:
+                r["expired"] = ann.expire(expire_keep_last)
+            report["ann_stores"][root] = r
     return report
 
 
@@ -148,6 +172,13 @@ def main():
         "than this (cold buckets are hard-linked, not rewritten)",
     )
     ap.add_argument(
+        "--ann-store",
+        action="append",
+        default=[],
+        help="AnnIndexStore root (repeatable): fold per-append posting-file "
+        "pileup per inverted-list directory and expire old snapshots",
+    )
+    ap.add_argument(
         "--sort-by", default=None, help="range-cluster table rows by this column during compaction"
     )
     ap.add_argument("--small-file-mb", type=int, default=32)
@@ -160,8 +191,8 @@ def main():
     )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
-    if not args.table and not args.store:
-        ap.error("nothing to do: pass --table and/or --store")
+    if not args.table and not args.store and not args.ann_store:
+        ap.error("nothing to do: pass --table, --store and/or --ann-store")
 
     from dsm2dtm_spark.session import get_spark
 
@@ -178,6 +209,7 @@ def main():
         repair_corpus=args.repair_corpus,
         store_n_buckets=args.store_n_buckets,
         store_max_files_per_bucket=args.store_max_files_per_bucket,
+        ann_stores=args.ann_store,
     )
     print(json.dumps(report))
     spark.stop()

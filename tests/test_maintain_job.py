@@ -121,6 +121,43 @@ class TestMaintainJob:
         out = incremental_dedup(store, fresh, method="md5", threshold=0.5, commit=False)
         assert [r.verdict for r in out.collect()] == ["near"]
 
+    def test_ann_store_compacts_and_expires(self, spark, tmp_path):
+        """--ann-store folds per-append posting-file pileup inside each
+        inverted-list partition directory and expires old snapshots —
+        query results identical before and after, and a mistyped root is
+        a no-op (same contract as the dedup stores)."""
+        import numpy as np
+
+        from dsm2dtm_spark.operators.annstore import AnnIndexStore
+
+        root = str(tmp_path / "annidx")
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(60, 8)).astype(np.float32)
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+        )
+        store = AnnIndexStore.create(root, kind="ivf", n_centroids=4)
+        store.append(df.filter("vec_id < 30"))
+        store.append(df.filter("vec_id >= 30"))
+        queries = df.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        before = sorted(
+            map(tuple, store.topk(spark, queries, k=3, nprobe=4).collect())
+        )
+
+        report = run_maintenance(spark, [], ann_stores=[root], expire_keep_last=1)
+        r = report["ann_stores"][root]
+        assert r["postings"] >= 2  # two appends' files folded
+        assert r["expired"]["postings"] >= 1
+        assert len(store.postings.snapshots()) == 1
+        after = sorted(map(tuple, store.topk(spark, queries, k=3, nprobe=4).collect()))
+        assert after == before
+
+        # mistyped root: no-op, nothing scaffolded that would brick the path
+        typo = str(tmp_path / "typo_ann")
+        report = run_maintenance(spark, [], ann_stores=[typo])
+        assert report["ann_stores"][typo] == {"postings": 0}
+        assert not os.path.exists(os.path.join(typo, "index.json"))
+
     def test_expiry_disabled_keeps_history(self, spark, tmp_path):
         table_root = str(tmp_path / "t")
         t = SnapshotTable(table_root)

@@ -327,6 +327,51 @@ class TestMultimodal:
             )
             np.testing.assert_array_equal(M.decode_png_rgb8(data), img, err_msg=f"filter {ftype}")
 
+    def test_png_rgb_decodes_mixed_filter_rows(self):
+        """Per-row filter CHOICE, as real encoders emit: runs of None/Up
+        (which decode vectorized across rows) interleaved with Sub/Avg/Paeth
+        rows — exercises every run boundary, the predecessor seed of an Up
+        run mid-image, and a run ending at the last scanline."""
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(71)
+        h, w, bpp = 14, 7, 3
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        for pattern in (
+            [2, 2, 0, 0, 4, 2, 2, 2, 1, 0, 3, 2, 0, 0],  # Up run at start + end-0 run
+            [0, 2, 4, 0, 2, 1, 2, 0, 3, 2, 2, 2, 2, 2],  # Up run to the last row
+        ):
+            raw = b""
+            prev = np.zeros(w * bpp, dtype=np.int32)
+            for y in range(h):
+                ftype = pattern[y]
+                cur = img[y].reshape(-1).astype(np.int32)
+                filt = np.empty_like(cur)
+                for i in range(len(cur)):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(int(a), int(b), int(c))}[ftype]
+                    filt[i] = (cur[i] - pred) % 256
+                raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+                prev = cur
+            data = (
+                b"\x89PNG\r\n\x1a\n"
+                + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + M._png_chunk(b"IDAT", zlib.compress(raw))
+                + M._png_chunk(b"IEND", b"")
+            )
+            np.testing.assert_array_equal(
+                M.decode_png_rgb8(data), img, err_msg=f"pattern {pattern}"
+            )
+
     @staticmethod
     def _forward_filter_block(block: np.ndarray, ftype: int, channels: int) -> bytes:
         """Forward-apply one PNG filter over an independently-filtered block
