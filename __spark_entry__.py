@@ -694,11 +694,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FULL MinHash-LSH pipeline (signatures → banded candidates →
         # exact Jaccard verify) in its md5 flavor — every step replays in
         # DuckDB, so this graduated from rows-only to hash-checked in r4;
-        # the xxhash64 production flavor stays pinned by the flood pytests
+        # the xxhash64 production flavor stays pinned by the flood pytests.
+        # shingle_n=5 (r6): background 3-gram Jaccard between UNRELATED
+        # same-language docs is ~0.19, which makes the banded candidate set
+        # quadratic in corpus size (~11M false pairs at sf1's 50k docs —
+        # measured; the sweep ground for 18+ min in the verify stage);
+        # 5-gram background is ~0.06 → ~100× less false-candidate mass,
+        # near-dup pairs still collide. The oracle replays the same 5-grams.
         from dsm2dtm_spark.operators.dedup import minhash_near_dups
 
         d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-        return minhash_near_dups(d, threshold=0.6, n_hashes=16, bands=4, method="md5")
+        return minhash_near_dups(
+            d, threshold=0.6, n_hashes=16, bands=4, method="md5", shingle_n=5
+        )
 
     q["docs_minhash_near_dups"] = docs_minhash_near_dups
 
@@ -1710,8 +1718,8 @@ def oracle_sql() -> dict[str, str]:
     o["docs_minhash_near_dups"] = """
         WITH sh AS (
             SELECT d.doc_id, unnest(list_distinct(list_transform(
-                generate_series(1, greatest(length(d.text) - 2, 1)),
-                i -> substr(lower(d.text), CAST(i AS INTEGER), 3)))) AS gram
+                generate_series(1, greatest(length(d.text) - 4, 1)),
+                i -> substr(lower(d.text), CAST(i AS INTEGER), 5)))) AS gram
             FROM documents d
         ),
         comps AS (
@@ -1730,8 +1738,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         grams AS (
             SELECT d.doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(length(d.text) - 2, 1)),
-                i -> substr(lower(d.text), CAST(i AS INTEGER), 3))) AS g
+                generate_series(1, greatest(length(d.text) - 4, 1)),
+                i -> substr(lower(d.text), CAST(i AS INTEGER), 5))) AS g
             FROM documents d
         )
         SELECT c.l AS left_id, c.r AS right_id,

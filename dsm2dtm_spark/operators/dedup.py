@@ -34,10 +34,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_expr(text_col: str, n: int = 3):
     """Character n-gram shingles via SQL transform (works pre-Spark-4 lambda
-    quirks); returns array<string> of distinct lowercase n-grams."""
+    quirks); returns array<string> of distinct lowercase n-grams.
+
+    The lowered text is bound ONCE per row through an outer single-element
+    ``transform`` lambda: higher-order-function lambdas are interpreted (no
+    codegen), so putting ``lower(text)`` inside the per-gram lambda made
+    every gram re-lower the whole document — O(len²) interpreted work per
+    row, measured as the dominant cost of the sf1 near-dup sweep (r6)."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-        f" i -> substring(lower({text_col}), i, {n})))"
+        f"transform(array(lower({text_col})), t ->"
+        f" array_distinct(transform(sequence(1, greatest(length(t) - {n - 1}, 1)),"
+        f" i -> substring(t, i, {n}))))[0]"
     )
 
 
@@ -155,19 +162,34 @@ def minhash_near_dups(
     bands: int = 4,
     bucket_cap: int | None = None,
     method: str = "xxhash64",
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact n-gram-Jaccard verification ≥ threshold. ``bucket_cap`` bounds
     candidate generation under near-dup floods (see minhash_lsh_candidates).
     ``method='md5'`` uses the string-MinHash signature + md5 band buckets —
     every step SQL-replayable (the DuckDB-oracle flavor; xxhash64 stays the
-    fast production default)."""
+    fast production default).
+
+    ``shingle_n`` sets the character-shingle length for BOTH the signatures
+    and the verify. Pick it against the corpus' background similarity: on
+    ~400-char same-language documents the background 3-gram Jaccard between
+    UNRELATED texts is ~0.19 (measured, data/sf1), which makes the banded
+    candidate set quadratic in corpus size (~11M false candidates at 50k
+    docs for 16/4/4 banding); 5-grams drop the background to ~0.06 and the
+    false-candidate mass 100×. 3 stays the default for parity with the
+    small-scale tests; web-scale corpora want 5+.
+
+    The verify JOINS each document's shingle set (computed once per doc)
+    onto the candidate pairs instead of re-shingling text per pair — a doc
+    in k candidate pairs previously paid k interpreted O(len·grams)
+    transforms, the measured sf1 hot spot."""
     if method == "md5":
         from dsm2dtm_spark.operators.incremental import minhash_signatures_md5
 
-        sig = minhash_signatures_md5(df, text_col, id_col, n_hashes)
+        sig = minhash_signatures_md5(df, text_col, id_col, n_hashes, shingle_n)
     else:
-        sig = minhash_signatures(df, text_col, id_col, n_hashes)
+        sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     # the signing feeds the candidate generator's collapse/member/band
     # subtrees; materialize it once (the candidate step re-derives the
     # relation three times otherwise)
@@ -175,13 +197,22 @@ def minhash_near_dups(
     cand = minhash_lsh_candidates(
         sig, id_col, bands, n_hashes // bands, bucket_cap=bucket_cap, bucket_method=method
     )
-    docs = df.select(F.col(id_col), F.col(text_col))
+    grams = df.select(F.col(id_col), shingle_expr(text_col, shingle_n).alias("_grams"))
     pairs = (
-        cand.join(docs.withColumnRenamed(id_col, "left_id").withColumnRenamed(text_col, "left_text"), on="left_id")
-        .join(docs.withColumnRenamed(id_col, "right_id").withColumnRenamed(text_col, "right_text"), on="right_id")
+        cand.join(
+            grams.select(F.col(id_col).alias("left_id"), F.col("_grams").alias("_lg")),
+            on="left_id",
+        ).join(
+            grams.select(F.col(id_col).alias("right_id"), F.col("_grams").alias("_rg")),
+            on="right_id",
+        )
     )
-    return ngram_jaccard(pairs, "left_text", "right_text").filter(F.col("jaccard") >= threshold).select(
-        "left_id", "right_id", "jaccard"
+    inter = F.size(F.array_intersect("_lg", "_rg"))
+    union = F.size(F.array_union("_lg", "_rg"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
     )
 
 

@@ -8,6 +8,8 @@ Usage: python scripts/check_contract.py [sf_dir] [query ...]
 Env: SPARK_GRAFT_CPUS overrides the session core count (default 8) — run
 the full sweep at 4 AND 32 to prove no query's result depends on the
 cluster size (defaultParallelism, partition counts).
+SPARK_GRAFT_CONTRACT_JSON=<path> additionally writes a machine-readable
+per-query record (status/rows/secs) for committed sweep evidence.
 """
 
 from __future__ import annotations
@@ -91,6 +93,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -98,28 +101,54 @@ def main():
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}", flush=True)
+            record[name] = {"status": "fail", "error": f"spark: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            secs = round(time.time() - t0, 1)
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{secs}s]", flush=True)
+            record[name] = {"status": "rows_only", "rows": len(sdf), "secs": secs}
             n_rowsonly += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            print(f"FAIL  {name}: oracle error: {str(e)[:300]}", flush=True)
+            record[name] = {"status": "fail", "error": f"oracle: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = compare(sdf, odf)
+        secs = round(time.time() - t0, 1)
         if problems:
-            print(f"FAIL  {name}: {' | '.join(problems)}")
+            print(f"FAIL  {name}: {' | '.join(problems)}", flush=True)
+            record[name] = {"status": "fail", "error": " | ".join(problems)[:500]}
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS  {name}: {len(sdf)} rows [{secs}s]", flush=True)
+            record[name] = {"status": "pass", "rows": len(sdf), "secs": secs}
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    out_json = os.environ.get("SPARK_GRAFT_CONTRACT_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+                    "pass": n_pass,
+                    "rows_only": n_rowsonly,
+                    "fail": n_fail,
+                    "queries": record,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"record -> {out_json}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
