@@ -902,14 +902,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_highsim_pairs(spark, sf):
         # embedding-cosine near-dup pairs (threshold tuned to the corpus —
         # testdata embeddings have no true dups, max off-diag cosine ≈ 0.51).
-        # Engine path: SRP-LSH bucketed candidates (equi-join, no cross join);
-        # the DuckDB oracle stays the exact all-pairs form, so the gate pins
-        # delta=1e-6 — per-pair miss probability small enough that parity
-        # survives fixture regeneration, not just today's seeded draw.
+        # Engine path (r6): blocked exact matmul — at threshold 0.45 the
+        # delta=1e-6 recall bound forces SRP-LSH to 2 planes × 32 tables,
+        # which collides ~100% of all pairs (~1.6e9 candidate rows at sf1,
+        # measured as a single-task shuffle grind); the blocked GEMM is the
+        # right physical plan for an exact low-threshold answer, and its
+        # survivors re-score through the same _dot aggregate the oracle
+        # parity rides on. The DuckDB oracle stays the exact all-pairs form.
         from dsm2dtm_spark.operators.simsearch import cosine_pairs
 
         e = _t(spark, sf, "embeddings")
-        return cosine_pairs(e, threshold=0.45, round_digits=4, delta=1e-6)
+        return cosine_pairs(e, threshold=0.45, round_digits=4, method="blocked")
 
     q["emb_highsim_pairs"] = emb_highsim_pairs
 
@@ -918,10 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         # threshold tuned to the corpus (max off-diag cosine ≈ 0.51) so the
-        # dedup path actually drops rows; bucketed candidates vs the exact
-        # oracle, with delta=1e-6 so parity is probability-solid (see
-        # emb_highsim_pairs)
-        return cosine_dedup(e, threshold=0.45, delta=1e-6).select("vec_id", "label")
+        # dedup path actually drops rows; blocked exact candidates vs the
+        # exact oracle (see emb_highsim_pairs for why LSH loses here)
+        return cosine_dedup(e, threshold=0.45, method="blocked").select("vec_id", "label")
 
     q["emb_cosine_dedup"] = emb_cosine_dedup
 
@@ -933,7 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dsm2dtm_spark.operators.simsearch import cosine_dedup
 
         e = _t(spark, sf, "embeddings")
-        return cosine_dedup(e, threshold=0.45, delta=1e-6, policy="leader").select("vec_id", "label")
+        return cosine_dedup(e, threshold=0.45, method="blocked", policy="leader").select(
+            "vec_id", "label"
+        )
 
     q["emb_cosine_dedup_leader"] = emb_cosine_dedup_leader
 

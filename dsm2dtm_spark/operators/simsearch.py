@@ -116,6 +116,68 @@ def srp_buckets_udf(n_planes: int, n_tables: int, seed: int = 7):
     return buckets
 
 
+def _blocked_candidate_pairs(
+    ids_v: DataFrame, threshold: float, block_rows: int = 2048
+) -> DataFrame:
+    """Exact all-pairs candidates via a blocked cosine matrix multiply:
+    hash-assign each vector to one of B = ceil(n/block_rows) blocks, form
+    the B(B+1)/2 unordered block pairs, and compute each block pair's full
+    similarity matrix as ONE Arrow-batched numpy matmul, emitting id pairs
+    whose matmul cosine clears ``threshold − 1e−6``. The margin makes this
+    a PRUNER with guaranteed recall: numpy's summation order differs from
+    the engine's sequential ``_dot`` aggregate by at most ~d·ε (≪1e−6 for
+    unit vectors), so every true ≥-threshold pair survives; callers re-score
+    survivors with ``_dot`` itself, keeping the float semantics bit-identical
+    to the oracle-pinned paths (CLAUDE.md: IEEE mul/add/sqrt only).
+
+    Each unordered pair lands in exactly ONE block-pair group (its two
+    blocks, ordered), so no candidate dedup is needed. Shuffle volume is
+    n·(B+1) rows — quadratic in n like any exact all-pairs answer, but the
+    per-pair cost is a fused GEMM flop instead of a shuffled row."""
+    n = ids_v.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    spark = ids_v.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    blocked = ids_v.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    left = blocked.join(F.broadcast(bp), blocked["_b"] == bp["bi"]).select(
+        "bi", "bj", "_id", "_v", F.lit("L").alias("_role")
+    )
+    right = (
+        blocked.join(F.broadcast(bp), blocked["_b"] == bp["bj"])
+        .filter(bp["bi"] != bp["bj"])  # diagonal groups pair within the L side
+        .select("bi", "bj", "_id", "_v", F.lit("R").alias("_role"))
+    )
+    id_field = ids_v.schema["_id"].dataType.simpleString()
+    thr = threshold - 1e-6
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        lm = pdf[pdf["_role"] == "L"]
+        rm = pdf[pdf["_role"] == "R"]
+        a = np.array([np.asarray(v, dtype=np.float64) for v in lm["_v"]])
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+        la = lm["_id"].to_numpy()
+        if len(rm):
+            b = np.array([np.asarray(v, dtype=np.float64) for v in rm["_v"]])
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+            ii, jj = np.nonzero(a @ b.T >= thr)
+            lb = rm["_id"].to_numpy()
+            li, ri = la[ii], lb[jj]
+        else:  # diagonal block: strict upper triangle of the self-product
+            ii, jj = np.nonzero(np.triu(a @ a.T >= thr, k=1))
+            li, ri = la[ii], la[jj]
+        lo = np.where(li < ri, li, ri)  # np.where, not np.minimum: works for
+        hi = np.where(li < ri, ri, li)  # string ids too
+        return pd.DataFrame({"left_id": lo, "right_id": hi})
+
+    return left.unionByName(right).groupBy("bi", "bj").applyInPandas(
+        score_block, f"left_id {id_field}, right_id {id_field}"
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -126,6 +188,7 @@ def cosine_pairs(
     delta: float = 1e-3,
     max_tables: int = 32,
     bucket_cap: int | None = None,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """All (left_id, right_id, cosine) pairs with cosine ≥ threshold and
     left_id < right_id.
@@ -148,12 +211,29 @@ def cosine_pairs(
 
     ``method='exact'``: the O(n²) cross join — the verification oracle for
     small fixtures and the DuckDB twin.
+
+    ``method='blocked'``: exact-recall all-pairs via a blocked numpy matmul
+    (``_blocked_candidate_pairs``), re-scored with the engine ``_dot``. Use
+    when the demanded ``delta`` at the given ``threshold`` forces
+    ``srp_params_for`` into the shallow-table regime where LSH buckets stop
+    pruning: at threshold 0.45 / delta 1e−6 the derivation bottoms out at
+    2 planes × 32 tables, which collides ~100% of ALL pairs — at sf1's 20k
+    vectors that is ~1.6e9 candidate rows through a shuffle hash-agg
+    (measured: single-task grind), vs ~26 GFLOP of fused GEMM here. LSH
+    stays the right path when (threshold, delta) admit selective buckets;
+    an exact answer at low thresholds is inherently quadratic, so make the
+    quadratic step a matmul, not a shuffle.
     """
     ids_v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if method == "exact":
         a = ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv"))
         b = ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv"))
         pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
+    elif method == "blocked":
+        cand = _blocked_candidate_pairs(ids_v, threshold, block_rows=block_rows)
+        pairs = cand.join(
+            ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv")), on="left_id"
+        ).join(ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv")), on="right_id")
     else:
         n_planes, n_tables = srp_params_for(threshold, delta=delta, max_tables=max_tables)
         bk = srp_buckets_udf(n_planes, n_tables)
@@ -199,7 +279,10 @@ def cosine_dedup(
     form a graph, connected components label each cluster with its minimum
     id, and exactly that leader survives (in the chain above, A survives and
     B and C drop, even though A≁C directly). Costs the O(log diameter)
-    rounds of the CC loop on top of pair generation."""
+    rounds of the CC loop on top of pair generation.
+
+    ``method`` passes through to ``cosine_pairs`` ('bucketed' | 'exact' |
+    'blocked' — see there for when each physical plan wins)."""
     pairs = cosine_pairs(corpus, threshold, id_col, vec_col, method=method, delta=delta)
     if policy == "leader":
         from dsm2dtm_spark.operators.dedup import connected_components

@@ -630,6 +630,35 @@ class TestCosineDedup:
             assert pairs_b == pairs_e, threshold
         assert len(pairs_e) > 0  # the fixture actually plants dups
 
+    def test_blocked_equals_exact_including_low_thresholds(self, spark):
+        """The blocked-GEMM exact path (the physical plan for low-threshold /
+        high-recall demands where LSH buckets stop pruning) reproduces the
+        cross-join result pair-for-pair AND cosine-for-cosine — the survivors
+        re-score through the same _dot aggregate, so even knife-edge rounding
+        matches. Small block_rows forces a real multi-block grid (diagonal +
+        off-diagonal groups); block_rows > n exercises the single-block case."""
+        from dsm2dtm_spark import synth
+
+        pdf = synth.embedding_table(150, dim=16, n_clusters=6, dup_fraction=0.1, seed=7)
+        sdf = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        for threshold in (0.3, 0.45, 0.9):
+            for br in (40, 1000):
+                exact = {
+                    (r.left_id, r.right_id, r.cosine)
+                    for r in S.cosine_pairs(sdf, threshold, method="exact").collect()
+                }
+                blocked = {
+                    (r.left_id, r.right_id, r.cosine)
+                    for r in S.cosine_pairs(
+                        sdf, threshold, method="blocked", block_rows=br
+                    ).collect()
+                }
+                assert blocked == exact, (threshold, br)
+        assert len(exact) > 0
+        kept_e = {r.vec_id for r in S.cosine_dedup(sdf, 0.45, method="exact").collect()}
+        kept_b = {r.vec_id for r in S.cosine_dedup(sdf, 0.45, method="blocked").collect()}
+        assert kept_b == kept_e
+
     def test_bucket_cap_drops_hot_buckets_gracefully(self, spark):
         """Skew guard: a flood of identical vectors makes every bucket of
         every table hot; with a cap those buckets are dropped (no pairs — the
