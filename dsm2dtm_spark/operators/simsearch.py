@@ -117,13 +117,13 @@ def srp_buckets_udf(n_planes: int, n_tables: int, seed: int = 7):
 
 
 def _blocked_candidate_pairs(
-    ids_v: DataFrame, threshold: float, block_rows: int = 2048
+    ids_v: DataFrame, threshold: float, block_rows: int = 2048, round_digits: int = 6
 ) -> DataFrame:
     """Exact all-pairs candidates via a blocked cosine matrix multiply:
     hash-assign each vector to one of B = ceil(n/block_rows) blocks, form
     the B(B+1)/2 unordered block pairs, and compute each block pair's full
     similarity matrix as ONE Arrow-batched numpy matmul, emitting id pairs
-    whose matmul cosine clears ``threshold − 1e−6``. The margin makes this
+    whose matmul cosine clears the threshold minus a margin. The margin makes this
     a PRUNER with guaranteed recall: numpy's summation order differs from
     the engine's sequential ``_dot`` aggregate by at most ~d·ε (≪1e−6 for
     unit vectors), so every true ≥-threshold pair survives; callers re-score
@@ -133,7 +133,14 @@ def _blocked_candidate_pairs(
     Each unordered pair lands in exactly ONE block-pair group (its two
     blocks, ordered), so no candidate dedup is needed. Shuffle volume is
     n·(B+1) rows — quadratic in n like any exact all-pairs answer, but the
-    per-pair cost is a fused GEMM flop instead of a shuffled row."""
+    per-pair cost is a fused GEMM flop instead of a shuffled row.
+
+    The margin is ``0.5·10^-round_digits + 1e-9``, NOT a bare epsilon:
+    callers filter on the ROUNDED cosine, so a raw value as low as
+    threshold − half-rounding-width still qualifies after rounding (at
+    round_digits=4 that is 5e-5 — 50× a naive 1e-6 margin; the sf1 sweep
+    caught exactly this as 22 missing knife-edge pairs). The 1e-9 tail
+    covers numpy-vs-_dot summation-order drift (≤ d·ε for unit vectors)."""
     n = ids_v.count()
     n_blocks = max(1, math.ceil(n / block_rows))
     spark = ids_v.sparkSession
@@ -152,7 +159,7 @@ def _blocked_candidate_pairs(
         .select("bi", "bj", "_id", "_v", F.lit("R").alias("_role"))
     )
     id_field = ids_v.schema["_id"].dataType.simpleString()
-    thr = threshold - 1e-6
+    thr = threshold - (0.5 * 10.0 ** (-round_digits) + 1e-9)
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         lm = pdf[pdf["_role"] == "L"]
@@ -230,7 +237,9 @@ def cosine_pairs(
         b = ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv"))
         pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
     elif method == "blocked":
-        cand = _blocked_candidate_pairs(ids_v, threshold, block_rows=block_rows)
+        cand = _blocked_candidate_pairs(
+            ids_v, threshold, block_rows=block_rows, round_digits=round_digits
+        )
         pairs = cand.join(
             ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv")), on="left_id"
         ).join(ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv")), on="right_id")

@@ -112,6 +112,26 @@ def main():
         )
     )
 
+    sections.append(
+        (
+            "Embedding-cosine pairs, blocked exact-GEMM path (low-threshold regime)",
+            "When the demanded recall at a low threshold forces srp_params_for into "
+            "shallow tables that stop pruning (0.45/1e-6 → 2 planes × 32 tables → "
+            "~100% of all pairs collide), the registry queries switch to "
+            "method='blocked': one FlatMapGroupsInPandas per block pair computes the "
+            "similarity matrix as a fused numpy GEMM with a half-rounding-width "
+            "recall margin, and the "
+            "surviving candidate ids re-score through the same JVM _dot aggregate "
+            "as every other path (oracle float parity). No CartesianProduct; the "
+            "only wide relation is n·(B+1) replicated block rows.",
+            fmt(
+                simsearch.cosine_pairs(
+                    emb, threshold=0.45, round_digits=4, method="blocked"
+                )
+            ),
+        )
+    )
+
     from dsm2dtm_spark.operators import terrain
 
     sections.append(

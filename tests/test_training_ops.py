@@ -659,6 +659,33 @@ class TestCosineDedup:
         kept_b = {r.vec_id for r in S.cosine_dedup(sdf, 0.45, method="blocked").collect()}
         assert kept_b == kept_e
 
+    def test_blocked_keeps_knife_edge_rounding_pairs(self, spark):
+        """A raw cosine BELOW the threshold that rounds UP to it must be
+        returned (the filter applies to the ROUNDED value): the pruning
+        margin has to cover the half-rounding width, not just float noise —
+        at round_digits=4 that is 5e-5, and the sf1 sweep caught a 1e-6
+        margin dropping exactly these pairs (22 of 17106)."""
+        theta = np.arccos(0.449971)  # rounds to 0.4500 at 4 digits
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [
+                    [1.0, 0.0],
+                    [float(np.cos(theta)), float(np.sin(theta))],
+                    [-1.0, 0.2],  # negative cosine vs both others
+                ],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        for method in ("exact", "blocked"):
+            got = {
+                (r.left_id, r.right_id, r.cosine)
+                for r in S.cosine_pairs(
+                    sdf, 0.45, method=method, round_digits=4, block_rows=2
+                ).collect()
+            }
+            assert got == {(0, 1, 0.45)}, (method, got)
+
     def test_bucket_cap_drops_hot_buckets_gracefully(self, spark):
         """Skew guard: a flood of identical vectors makes every bucket of
         every table hot; with a cap those buckets are dropped (no pairs — the
