@@ -1974,23 +1974,50 @@ def oracle_sql() -> dict[str, str]:
     # leader policy: transitive closure over the similarity graph (recursive
     # CTE), cluster id = min reachable id; non-leaders drop. Matches the
     # engine's connected-components labels exactly.
-    o["emb_cosine_dedup_leader"] = """
-        WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        pairs AS (
+    # Leader dedup oracle: UNROLLED min-label propagation + path halving —
+    # the same update rule (and 25-round budget) as the Spark CC operator,
+    # one V-row relation per round. The previous WITH RECURSIVE reachability
+    # closure materialized O(Σ|component|²) rows: at sf1 the 0.45-graph has
+    # a ~10k-vertex giant component, so the closure was ~100M rows and 14+ GB
+    # (killed after 22 min). Label updates are monotone (labels only
+    # decrease, bounded by the component min) and idempotent at the fixpoint,
+    # so 25 rounds — the operator raises if IT ever needs more — give the
+    # exact same labels with linear intermediates.
+    _cc_rounds = 25
+    # AS MATERIALIZED everywhere: DuckDB inlines multi-referenced CTEs by
+    # default, which re-expands the whole chain per reference (exponential
+    # scans — "Too many open files" before any row moves)
+    _cc = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM (SELECT a FROM edges) t)",
+    ]
+    _prev = "l0"
+    for _k in range(1, _cc_rounds + 1):
+        _cc.append(
+            f"n{_k} AS MATERIALIZED (SELECT e2.b AS id, MIN(p.label) AS nl "
+            f"FROM edges e2 JOIN {_prev} p ON p.id = e2.a GROUP BY e2.b)"
+        )
+        _cc.append(
+            f"s{_k} AS MATERIALIZED (SELECT p.id, LEAST(p.label, COALESCE(n.nl, p.label)) AS label "
+            f"FROM {_prev} p LEFT JOIN n{_k} n USING (id))"
+        )
+        _cc.append(
+            f"l{_k} AS MATERIALIZED (SELECT s.id, LEAST(s.label, COALESCE(t.label, s.label)) AS label "
+            f"FROM s{_k} s LEFT JOIN s{_k} t ON s.label = t.id)"
+        )
+        _prev = f"l{_k}"
+    _cc_sql = ",\n        ".join(_cc)
+    o["emb_cosine_dedup_leader"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS MATERIALIZED (
             SELECT a.vec_id AS lid, b.vec_id AS rid
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
         ),
-        edges AS (SELECT lid AS a, rid AS b FROM pairs UNION ALL SELECT rid, lid FROM pairs),
-        reach(id, r) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
-        ),
-        labels AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+        edges AS MATERIALIZED (SELECT lid AS a, rid AS b FROM pairs UNION ALL SELECT rid, lid FROM pairs),
+        {_cc_sql}
         SELECT vec_id, label FROM e
-        WHERE vec_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)
+        WHERE vec_id NOT IN (SELECT id FROM {_prev} WHERE id != label)
     """
 
     # IVF replay: nearest centroid per corpus vector (top-1 by dot product —
