@@ -31,10 +31,82 @@ the dedup domain; no reference-repo equivalent (engine extension).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
 
-from dsm2dtm_spark.operators.dedup import minhash_signatures, shingle_expr
+from dsm2dtm_spark.operators.dedup import minhash_signatures
 from dsm2dtm_spark.sources.manifest import SnapshotTable
+
+# per-worker gram → md5-component cache for the string-MinHash UDF (guide
+# §4.5: heavyweight state once per task — here once per *worker*, since
+# spark.python.worker.reuse keeps the module alive across tasks). Character
+# n-grams repeat massively across documents (measured at sf1: 50k docs hold
+# only 377 distinct 3-grams / 2041 distinct 5-grams), so hashing each
+# distinct gram once collapses ~114M md5 calls per signing pass to a few
+# thousand. Bounded: a pathological high-entropy corpus clears the cache
+# instead of growing it without limit (recompute, never wrong).
+_MD5_GRAM_CACHE: dict[int, dict] = {}
+_MD5_CACHE_MAX = 262_144
+
+
+def _md5_minhash_sig_udf(n_hashes: int, shingle_n: int):
+    """Arrow-batched string-MinHash over the (JVM-)lowered text: distinct
+    character ``shingle_n``-grams → per-gram md5('i:'||gram) components →
+    elementwise min. Bit-identical to the old explode/groupBy expression
+    chain: Python slices by codepoint exactly like ``substring`` (including
+    the short-text clamp — at least one gram, the whole text), hashlib.md5
+    hexdigest == Spark's md5 over the same utf-8 bytes, min over ASCII-hex
+    bytes == min over VARCHAR, and MIN is order-insensitive so gram order
+    is irrelevant. The input must already be LOWERCASED in the JVM
+    (``F.lower``), keeping the locale/unicode case mapping identical to the
+    SQL oracles'.
+
+    NOTE: the grams are deliberately NOT computed via ``shingle_expr`` here:
+    a pandas UDF whose argument contains shingle_expr's nested lambda
+    (inner lambda referencing the outer's variable) hits a Spark 4.1
+    extraction bug under joins — the PythonUDF is left inside a plain
+    Project and execution dies with INTERNAL_ERROR 'Cannot evaluate
+    expression' (reproduced; plain/single-level-lambda arguments extract
+    fine)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sig(lowered_batch: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        cache = _MD5_GRAM_CACHE.setdefault((n_hashes, shingle_n), {})
+        prefixes = [f"{i}:".encode() for i in range(n_hashes)]
+        out = []
+        for t in lowered_batch:
+            if t is None:
+                out.append(None)
+                continue
+            # same gram set as shingle_expr: substrings at 0..len-n (at
+            # least one — short texts yield themselves), distinct
+            grams = {t[i : i + shingle_n] for i in range(max(len(t) - shingle_n + 1, 1))}
+            rows = []
+            for g in grams:
+                h = cache.get(g)
+                if h is None:
+                    if len(cache) >= _MD5_CACHE_MAX:
+                        cache.clear()
+                    gb = g.encode("utf-8")
+                    # byte-identical to Spark's md5(concat_ws(':', i, g)):
+                    # lowercase hex over the utf-8 bytes of 'i:gram'
+                    h = np.array(
+                        [hashlib.md5(p + gb).hexdigest() for p in prefixes], dtype="S32"
+                    )
+                    cache[g] = h
+                rows.append(h)
+            # columnwise min over ASCII-hex bytes == Spark's min over
+            # VARCHAR (np.minimum has no bytes loop; sort does)
+            mins = np.sort(np.stack(rows), axis=0)[0]
+            out.append([m.decode("ascii") for m in mins])
+        return pd.Series(out, dtype=object)
+
+    return sig
 
 
 def minhash_signatures_md5(
@@ -44,14 +116,36 @@ def minhash_signatures_md5(
     distinct character ``shingle_n``-grams of md5('i:' || gram). min() over
     VARCHAR is the same lexicographic order in Spark and DuckDB, so an
     oracle replays signatures exactly. Returns (id, signature:array<string>).
-    """
-    hs = df.select(id_col, F.explode(shingle_expr(text_col, shingle_n)).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    sig = hs.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(n_hashes)]).alias("signature"))
+
+    r7 (guide §4.2/§4.5): the per-(gram, i) md5 storm moved from JVM
+    expressions (explode → 16 md5 per exploded gram occurrence → 16-way min
+    groupBy) into one Arrow-batched UDF with a per-worker gram cache —
+    grams repeat massively across documents (sf1: 377 distinct 3-grams in
+    50k docs), so each distinct gram is hashed once per worker instead of
+    once per occurrence, and the explode/groupBy exchange disappears
+    (values bit-identical, see _md5_minhash_sig_udf). Rows with NULL text
+    drop from the output exactly like the old explode did; ids are assumed
+    unique per row (every call site signs id-keyed documents)."""
+    sig = _md5_minhash_sig_udf(n_hashes, shingle_n)
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), sig(F.lower(F.col(text_col))).alias("signature")
+    )
+
+
+def _est_jaccard_expr(n_hashes: int):
+    """MinHash-estimated Jaccard of the candidate pair columns
+    (_fsig, _csig): fraction of agreeing components. Semantically identical
+    to the old ``aggregate(zip_with(...))`` form (null-safe: a null column
+    or out-of-bounds component contributes 0 matches), but unrolled into a
+    flat sum of ``n_hashes`` element comparisons — higher-order-function
+    lambdas are CodegenFallback (interpreted per row), and this expression
+    runs once per candidate pair (49M pairs at sf1), where the interpreted
+    form measured as the dominant verify cost."""
+    matches = None
+    for i in range(n_hashes):
+        m = F.when(F.get("_fsig", i) == F.get("_csig", i), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    return matches / F.size("_fsig")
 
 
 def sign_documents(
@@ -65,13 +159,22 @@ def sign_documents(
     """(id, fingerprint, signature) for a document batch — the rows a
     SignatureStore persists. ``fingerprint`` = md5(text) (the exact-dup key,
     SQL-replayable in both flavors); ``signature`` is the MinHash array in
-    the chosen ``method`` (see module docstring)."""
-    if method == "xxhash64":
-        sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    elif method == "md5":
-        sig = minhash_signatures_md5(df, text_col, id_col, n_hashes, shingle_n)
-    else:
+    the chosen ``method`` (see module docstring).
+
+    The md5 flavor signs in ONE projection (r7): fingerprint and signature
+    both derive from the current row, so the old fingerprint⋈signature
+    self-join (an Exchange pair per signing) is gone. The xxhash64 flavor
+    keeps the join — its signature is a real explode/groupBy aggregate."""
+    if method == "md5":
+        sig = _md5_minhash_sig_udf(n_hashes, shingle_n)
+        return df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("fingerprint"),
+            sig(F.lower(F.col(text_col))).alias("signature"),
+        )
+    if method != "xxhash64":
         raise ValueError(f"method must be 'xxhash64' or 'md5', got {method!r}")
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
     return fp.join(sig, on=id_col)
 
@@ -950,23 +1053,23 @@ def dedup_against(
             .distinct()
         )
     else:
+        # NO pair-level distinct here (r7): the candidate mass is quadratic
+        # in background similarity (49.1M distinct pairs at sf1 — measured),
+        # and distinct() was a full shuffle+agg of that mass. A pair
+        # colliding in k bands is simply verified k times (k ≤ bands, ~1.06×
+        # rows at sf1) and the 'near' output dedups on doc_id anyway — the
+        # decisions are identical, and the pair stream never materializes
+        # through an Exchange.
         cand = (
             fresh_bands.join(corpus_bands, on=["band", "bucket"])
             .select(F.col(id_col), F.col("_cid"))
-            .distinct()
         )
     # verify on STORED signatures only: estimated Jaccard = fraction of
-    # agreeing components (classic MinHash estimator; no text touched)
+    # agreeing components (classic MinHash estimator; no text touched) —
+    # unrolled codegen form, see _est_jaccard_expr
     csig = stored_signatures.select(F.col(id_col).alias("_cid"), F.col("signature").alias("_csig"))
     fsig = fresh_sigs.select(F.col(id_col), F.col("signature").alias("_fsig"))
-    est_j = (
-        F.aggregate(
-            F.zip_with("_fsig", "_csig", lambda a, b: F.when(a == b, 1).otherwise(0)),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.size("_fsig")
-    )
+    est_j = _est_jaccard_expr(n_hashes)
     if broadcast_fresh:
         # candidate set is flood-guard-bounded → broadcast it at the fresh
         # signatures, then stream stored signatures once against the result
@@ -981,6 +1084,12 @@ def dedup_against(
         .select(F.col(id_col), F.lit("near").alias("verdict"))
         .distinct()
     )
+    if materialize_fresh:
+        # `near` feeds the decisions union AND both anti-joins (kept rows,
+        # keep_sigs) — without the checkpoint Catalyst re-executes the whole
+        # candidate+verify stream (49M rows at sf1) once per consumer; the
+        # near set itself is tiny (measured: 2-3 full streams → 1)
+        near = near.localCheckpoint(eager=False)
     near_ids = near.select(id_col)
     if broadcast_fresh:
         near_ids = F.broadcast(near_ids)

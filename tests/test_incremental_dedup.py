@@ -76,18 +76,24 @@ class TestIncrementalDedup:
             materialize_fresh=False,  # keep the raw lineage plan-inspectable
         )
         plan = decisions._jdf.queryExecution().optimizedPlan().toString()
-        # every shingle explode in the plan hangs off the fresh in-memory
-        # relation, never off a FileScan of the store: count the shingle
-        # markers and the store scans independently
-        n_shingle = plan.count("sequence(1, greatest(")
-        assert n_shingle >= 1  # fresh side is shingled (sign + verify feed)
-        assert "Relation" in plan and "parquet" in plan  # store scanned
-        # the store's parquet subtrees contain no shingle expression: a
-        # shingle marker always references the fresh text column
-        for chunk in plan.split("Relation")[1:]:
-            head = chunk[:400]
-            if "parquet" in head:
-                assert "sequence(1, greatest(" not in head
+        # every signing marker in the plan hangs off the fresh in-memory
+        # relation, never off a FileScan of the store. The xxhash64 flavor
+        # shingles with the JVM expression ("sequence(1, greatest("); the
+        # md5 flavor (r7) shingles inside the Arrow sig UDF over the
+        # JVM-lowered text ("sig(lower(") — count whichever markers apply
+        # and the store scans independently
+        markers = ("sequence(1, greatest(", "sig(lower(")
+        n_sign = sum(plan.count(m) for m in markers)
+        assert n_sign >= 1  # fresh side is signed (sign + verify feed)
+        lines = plan.splitlines()
+        scan_lines = [ln for ln in lines if "parquet" in ln]
+        assert scan_lines  # store scanned
+        # the store's parquet scans carry no signing expression and never
+        # read a text column — the corpus is verifiably never re-processed
+        for ln in scan_lines:
+            for m in markers:
+                assert m not in ln
+            assert "text#" not in ln
 
     def test_store_side_never_shuffles(self, spark, tmp_path, method):
         """VERDICT r4 #3: with ``broadcast_fresh`` (default) every join in
