@@ -659,9 +659,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_jaccard_consecutive(spark, sf):
         from dsm2dtm_spark.operators.dedup import shingle_expr
 
-        # shingle each doc ONCE, then join pairs on the precomputed arrays
+        # shingle each doc ONCE, then join pairs on the precomputed arrays.
+        # The lazy checkpoint makes "once" literal (r7): without it Catalyst
+        # re-derives the shingle subtree for each join side — two full
+        # interpreted shingle passes (measured ~1 s each at sf1)
         d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)  # single-file input: spread the shingle work
-        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams"))
+        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams")).localCheckpoint(
+            eager=False
+        )
         left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
         right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
         pairs = left.join(right, on="left_id")
@@ -679,7 +684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dsm2dtm_spark.operators.dedup import connected_components, shingle_expr
 
         d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams"))
+        # same shingle-once checkpoint as docs_jaccard_consecutive (r7)
+        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams")).localCheckpoint(
+            eager=False
+        )
         left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
         right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
         jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)

@@ -64,6 +64,29 @@ def cmd_explain(name: str, outfile: str | None = None):
         print(plan)
 
 
+def cmd_suite(names: list[str], n_passes: int = 3):
+    """Interleaved min-of-N over several queries in ONE session (same
+    methodology as bench.py's relational loop)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    spark = _spark()
+    qs = entry.queries()
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for p in range(n_passes):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"{name} pass {p}")
+            runs[name].append(round(_noop(qs[name](spark, sf_dir)), 2))
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "min": {n: min(r) for n, r in runs.items()},
+        "runs": runs,
+        "total_min": round(sum(min(r) for r in runs.values()), 2),
+    }))
+
+
 def cmd_incdedup():
     """Stage walls for the docs_incremental_dedup scenario at the bench sf."""
     from pyspark.sql import functions as F
@@ -142,6 +165,8 @@ if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "query":
         cmd_query(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    elif cmd == "suite":
+        cmd_suite(sys.argv[2].split(","), int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     elif cmd == "explain":
         cmd_explain(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
     elif cmd == "incdedup":

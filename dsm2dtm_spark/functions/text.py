@@ -12,6 +12,7 @@ path). Each has a matching ANSI-SQL oracle form in __spark_entry__.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny fixed lexicons — deterministic, dependency-free language voting
@@ -38,17 +39,44 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(text, r"(?<=\W)|(?=\W)"), lambda t: F.trim(t) != ""))
 
 
+def _token_stats_udf():
+    """Arrow-batched (n_tokens, n_stop) over JVM-lowered text — identical to
+    ``size(tokens_ws(t))`` and the stopword filter count: Python
+    ``split(" ")`` on a literal space == Spark's ``split(t, " ")`` for every
+    input, empties removed the same way, and both counts are exact integers.
+    The interpreted ``filter(toks, array_contains(...))`` lambda measured as
+    the dominant cost of quality_features at sf1 (r7, guide §4)."""
+    stop = set(STOPWORDS["en"])
+
+    @F.pandas_udf("n_tokens int, n_stop int")
+    def stats(lowered: pd.Series) -> pd.DataFrame:
+        nt, ns = [], []
+        for t in lowered:
+            if t is None:
+                nt.append(None)
+                ns.append(None)
+                continue
+            toks = [x for x in t.split(" ") if x]
+            nt.append(len(toks))
+            ns.append(sum(1 for x in toks if x in stop))
+        return pd.DataFrame({"n_tokens": nt, "n_stop": ns})
+
+    return stats
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: n_chars, n_tokens, avg token length,
     punctuation ratio, stopword(en) ratio, uppercase ratio."""
     t = F.col(text_col)
-    toks = tokens_ws(t)
     n_chars = F.length(t)
-    n_tokens = F.size(toks)
-    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
-    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda tok: F.array_contains(sw, tok)))
+    ts = _token_stats_udf()(F.lower(t))
+    n_tokens = ts.getField("n_tokens")
+    n_stop = ts.getField("n_stop")
+    # regexp_count == number of matching chars (single-char patterns), same
+    # value as the old length(regexp_replace(...)) forms without building a
+    # scrubbed copy of every document (r7)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    upper = F.regexp_count(t, F.lit("[A-Z]"))
     return df.withColumns(
         {
             "n_chars_q": n_chars.cast("long"),

@@ -20,29 +20,50 @@ equi-join discipline."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+
+def _word_ngrams_udf(n: int):
+    """Arrow-batched distinct word ``n``-grams over JVM-lowered text —
+    value-identical to the old expression form (``transform(sequence...)``
+    over ``tokens_ws`` with ``array_join``): Python ``split(" ")`` on the
+    literal space == Spark's split, ``" ".join(toks[i:i+n])`` ==
+    ``array_join(slice(...), " ")``, short docs yield an empty array, and
+    first-occurrence distinct order is preserved (downstream only explodes
+    the set). The interpreted per-gram slice+join lambdas measured as the
+    dominant decontam cost at sf1 (r7, guide §4.2)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def grams(lowered: pd.Series) -> pd.Series:
+        out = []
+        for t in lowered:
+            if t is None:
+                out.append([])  # old WHEN-guard yielded [] for null text too
+                continue
+            toks = [x for x in t.split(" ") if x]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+            )
+        return pd.Series(out, dtype=object)
+
+    return grams
 
 
 def word_ngram_expr(text_col: str, n: int):
-    """array<string> of the text's DISTINCT word ``n``-grams (lowercased,
-    space-tokenized via the engine's canonical ``tokens_ws`` — the SAME
-    split the quality gate and the DuckDB oracles use, so a tab/newline in
-    a document can never make Spark and the oracle disagree on grams).
-    Documents shorter than ``n`` tokens have no complete n-gram and yield
-    an empty array — never partial grams (matching the standard
-    decontamination definition)."""
-    from dsm2dtm_spark.functions.text import tokens_ws
-
-    toks = tokens_ws(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-    # guard BEFORE sequence(): size < n would make sequence(1, k<1) count
-    # DOWN and slice() then raises on non-positive starts
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    """array<string> of the text's DISTINCT word ``n``-grams (lowercased in
+    the JVM, space-tokenized exactly like the engine's canonical
+    ``tokens_ws`` — the SAME split the quality gate and the DuckDB oracles
+    use, so a tab/newline in a document can never make Spark and the oracle
+    disagree on grams). Documents shorter than ``n`` tokens have no
+    complete n-gram and yield an empty array — never partial grams
+    (matching the standard decontamination definition). Gram assembly runs
+    in an Arrow UDF since r7 (see _word_ngrams_udf — same values)."""
+    return _word_ngrams_udf(n)(F.lower(F.col(text_col)))
 
 
 def ngram_contamination(

@@ -179,33 +179,37 @@ def sign_documents(
     return fp.join(sig, on=id_col)
 
 
-def band_buckets(signatures: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+def band_buckets(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, carry_signature: bool = False
+) -> DataFrame:
     """Explode (id, signature) → narrow (id, band, bucket) LSH band rows.
     bucket = md5 of the band's '|'-joined components — one string expression
     that covers both signature flavors (bigint arrays stringify first) and
-    replays in DuckDB as md5(string_agg(comp, '|' ORDER BY i))."""
+    replays in DuckDB as md5(string_agg(comp, '|' ORDER BY i)).
+
+    ``carry_signature=True`` keeps the signature array on each band row
+    (4× payload duplication) — used by the shuffle-path verify so the
+    candidate pair stream needs no signature-attach join at all (r7)."""
     rows_per_band = (F.size("signature") / bands).cast("int")
-    return (
-        signatures.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-            F.col("signature"),
-            rows_per_band.alias("_rpb"),
+    out_cols = [id_col, "band"]
+    bucket = F.md5(
+        F.array_join(
+            F.transform(
+                F.slice("signature", F.col("band") * F.col("_rpb") + 1, F.col("_rpb")),
+                lambda x: x.cast("string"),
+            ),
+            "|",
         )
-        .select(
-            id_col,
-            "band",
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice("signature", F.col("band") * F.col("_rpb") + 1, F.col("_rpb")),
-                        lambda x: x.cast("string"),
-                    ),
-                    "|",
-                )
-            ).alias("bucket"),
-        )
+    ).alias("bucket")
+    exploded = signatures.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("signature"),
+        rows_per_band.alias("_rpb"),
     )
+    if carry_signature:
+        return exploded.select(*out_cols, bucket, "signature")
+    return exploded.select(*out_cols, bucket)
 
 
 class SignatureStore:
@@ -1025,26 +1029,33 @@ def dedup_against(
     )
     if materialize_fresh:
         fresh_sigs = fresh_sigs.localCheckpoint(eager=False)
-    fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands)
-    corpus_bands = stored_bands.select(
-        F.col(id_col).alias("_cid"), F.col("band"), F.col("bucket")
-    )
     if hot_buckets is not None:
         hot = hot_buckets.select("band", "bucket")
     elif bucket_cap is not None:
         # fallback census — a full groupBy over the stored band rows; a
         # store-maintained hot list (hot_buckets) makes this free per batch
         hot = (
-            corpus_bands.groupBy("band", "bucket")
+            stored_bands.select("band", "bucket")
+            .groupBy("band", "bucket")
             .count()
             .filter(F.col("count") > bucket_cap)
             .select("band", "bucket")
         )
     else:
         hot = None
-    if hot is not None:
-        corpus_bands = corpus_bands.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+    # verify on STORED signatures only: estimated Jaccard = fraction of
+    # agreeing components (classic MinHash estimator; no text touched) —
+    # unrolled codegen form, see _est_jaccard_expr
+    est_j = _est_jaccard_expr(n_hashes)
     if broadcast_fresh:
+        fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands)
+        corpus_bands = stored_bands.select(
+            F.col(id_col).alias("_cid"), F.col("band"), F.col("bucket")
+        )
+        if hot is not None:
+            corpus_bands = corpus_bands.join(
+                F.broadcast(hot), on=["band", "bucket"], how="left_anti"
+            )
         # stream the stored band rows against the broadcast fresh bands —
         # no Exchange on the stored subtree (band/bucket column order kept)
         cand = (
@@ -1052,32 +1063,53 @@ def dedup_against(
             .select(F.col(id_col), F.col("_cid"))
             .distinct()
         )
-    else:
-        # NO pair-level distinct here (r7): the candidate mass is quadratic
-        # in background similarity (49.1M distinct pairs at sf1 — measured),
-        # and distinct() was a full shuffle+agg of that mass. A pair
-        # colliding in k bands is simply verified k times (k ≤ bands, ~1.06×
-        # rows at sf1) and the 'near' output dedups on doc_id anyway — the
-        # decisions are identical, and the pair stream never materializes
-        # through an Exchange.
-        cand = (
-            fresh_bands.join(corpus_bands, on=["band", "bucket"])
-            .select(F.col(id_col), F.col("_cid"))
+        csig = stored_signatures.select(
+            F.col(id_col).alias("_cid"), F.col("signature").alias("_csig")
         )
-    # verify on STORED signatures only: estimated Jaccard = fraction of
-    # agreeing components (classic MinHash estimator; no text touched) —
-    # unrolled codegen form, see _est_jaccard_expr
-    csig = stored_signatures.select(F.col(id_col).alias("_cid"), F.col("signature").alias("_csig"))
-    fsig = fresh_sigs.select(F.col(id_col), F.col("signature").alias("_fsig"))
-    est_j = _est_jaccard_expr(n_hashes)
-    if broadcast_fresh:
+        fsig = fresh_sigs.select(F.col(id_col), F.col("signature").alias("_fsig"))
         # candidate set is flood-guard-bounded → broadcast it at the fresh
         # signatures, then stream stored signatures once against the result
         candf = fsig.join(F.broadcast(cand), on=id_col)
         paired = csig.join(F.broadcast(candf), on="_cid")
     else:
-        candf = cand.join(fsig, on=id_col)
-        paired = candf.join(csig, on="_cid")
+        # Shuffle path (r7 restructure — measured 49.4 s → <1 s at sf1).
+        # The old shape materialized the quadratic candidate mass
+        # (49.1M distinct pairs at sf1) through a pair-level distinct and
+        # two signature-attach joins — three full-candidate Exchanges, and
+        # the attach joins were one planner estimate away from sort-merging
+        # the 49M-row stream (observed under storage pressure: checkpoint
+        # size stats degrade, AQE stops broadcasting the signature tables,
+        # every pass pays ~3 s/task of shuffle+sort). Instead BOTH sides
+        # carry their signature on the band rows (4× signature payload —
+        # one bounded Exchange per side), the band equi-join emits each
+        # collision with both signatures already present, and the codegen
+        # est filter consumes the pair stream inline: no join, no shuffle,
+        # no planner decision ever touches the quadratic stream. A pair
+        # colliding in k bands is verified k times (k ≤ bands, ~1.06× rows
+        # at sf1); 'near' dedups on doc_id, so decisions are identical.
+        # The stored BAND TABLE is not read here (bands re-derive from the
+        # stored signatures — md5 of array slices, nothing re-shingled);
+        # the narrow band table remains the broadcast path's stream source.
+        fb = band_buckets(
+            fresh_sigs, id_col=id_col, bands=bands, carry_signature=True
+        ).withColumnRenamed("signature", "_fsig")
+        cb = band_buckets(
+            stored_signatures.select(F.col(id_col).alias("_cid"), "signature"),
+            id_col="_cid",
+            bands=bands,
+            carry_signature=True,
+        ).withColumnRenamed("signature", "_csig")
+        if method == "md5":
+            # est only needs per-component EQUALITY, and unhex is a
+            # bijection on md5 hex — comparing 16-byte binaries instead of
+            # 32-char strings gives the identical match count at half the
+            # bytes compared AND half the band-row payload shuffled
+            as_bin = lambda c: F.transform(F.col(c), lambda x: F.unhex(x)).alias(c)  # noqa: E731
+            fb = fb.select(id_col, "band", "bucket", as_bin("_fsig"))
+            cb = cb.select("_cid", "band", "bucket", as_bin("_csig"))
+        if hot is not None:
+            cb = cb.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+        paired = fb.join(cb, on=["band", "bucket"])
     near = (
         paired.withColumn("_est", est_j)
         .filter(F.col("_est") >= threshold)

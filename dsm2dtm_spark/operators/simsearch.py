@@ -26,6 +26,13 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 
 def _dot(a, b):
+    # NOTE (r7, measured): unrolling this fold into a flat codegen chain is
+    # a LOSS in context — each unrolled F.get replicates the caller's
+    # array<float>→array<double> cast, turning one cast per row into
+    # hundreds (46 s vs 1.7 s for emb_topk_cosine at sf1). The HOF fold
+    # evaluates its argument once per row and measures ~0.2 s per 250k×64-d
+    # rows; the redundant work worth removing was the per-PAIR norm
+    # recomputation (see brute_force_topk / the _pre_normed helpers).
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
@@ -36,6 +43,15 @@ def _norm(a):
 def with_cosine(df: DataFrame, left_col: str, right_col: str, out_col: str = "cosine") -> DataFrame:
     a, b = F.col(left_col).cast("array<double>"), F.col(right_col).cast("array<double>")
     return df.withColumn(out_col, F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6))
+
+
+def _score_pre_normed(pairs: DataFrame, out_col: str = "cosine") -> DataFrame:
+    """``with_cosine`` over pair rows that already carry the per-vector
+    norms (``_qn``/``_cn``, computed once per vector below the candidate
+    join): same dot fold, same norm product, same rounding — identical
+    values with |pairs| − |vectors| fewer interpreted norm folds."""
+    a, b = F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")
+    return pairs.withColumn(out_col, F.round(_dot(a, b) / (F.col("_qn") * F.col("_cn")), 6))
 
 
 def brute_force_topk(
@@ -49,11 +65,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus, ranking window.
     Self-matches (same id) are excluded when id columns share a namespace.
-    Ties break on the corpus id (deterministic)."""
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    Ties break on the corpus id (deterministic).
+
+    Norms are computed ONCE PER VECTOR below the join (r7): the old
+    per-pair ``_norm(qvec)·_norm(cvec)`` re-folded both interpreted
+    sum-of-squares per candidate pair — |corpus|×|queries| evaluations
+    instead of |corpus|+|queries|. Values identical (same fold, same
+    product, same rounding), so the ranking is unchanged."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+        _norm(F.col(query_vec_col).cast("array<double>")).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = with_cosine(pairs, "qvec", "cvec")
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -232,17 +269,21 @@ def cosine_pairs(
     quadratic step a matmul, not a shuffle.
     """
     ids_v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm once per vector, attached alongside the vector in every branch
+    ids_vn = ids_v.withColumn("_vn", _norm(F.col("_v").cast("array<double>")))
+    left_vn = ids_vn.select(
+        F.col("_id").alias("left_id"), F.col("_v").alias("lv"), F.col("_vn").alias("_ln")
+    )
+    right_vn = ids_vn.select(
+        F.col("_id").alias("right_id"), F.col("_v").alias("rv"), F.col("_vn").alias("_rn")
+    )
     if method == "exact":
-        a = ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv"))
-        b = ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv"))
-        pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
+        pairs = left_vn.crossJoin(right_vn).filter(F.col("left_id") < F.col("right_id"))
     elif method == "blocked":
         cand = _blocked_candidate_pairs(
             ids_v, threshold, block_rows=block_rows, round_digits=round_digits
         )
-        pairs = cand.join(
-            ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv")), on="left_id"
-        ).join(ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv")), on="right_id")
+        pairs = cand.join(left_vn, on="left_id").join(right_vn, on="right_id")
     else:
         n_planes, n_tables = srp_params_for(threshold, delta=delta, max_tables=max_tables)
         bk = srp_buckets_udf(n_planes, n_tables)
@@ -257,11 +298,11 @@ def cosine_pairs(
             .select("left_id", "right_id")
             .dropDuplicates(["left_id", "right_id"])
         )
-        pairs = cand.join(
-            ids_v.select(F.col("_id").alias("left_id"), F.col("_v").alias("lv")), on="left_id"
-        ).join(ids_v.select(F.col("_id").alias("right_id"), F.col("_v").alias("rv")), on="right_id")
+        pairs = cand.join(left_vn, on="left_id").join(right_vn, on="right_id")
+    # per-vector norms ride the vector-attach joins (computed once per row
+    # in ids_vn, not once per candidate pair — same values, same rounding)
     a, b = F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")
-    cos = F.round(_dot(a, b) / (_norm(a) * _norm(b)), round_digits)
+    cos = F.round(_dot(a, b) / (F.col("_ln") * F.col("_rn")), round_digits)
     return pairs.select("left_id", "right_id", cos.alias("cosine")).filter(F.col("cosine") >= threshold)
 
 
@@ -558,14 +599,16 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.element_at(lists_udf(1)(F.col(vec_col)), 1).alias("list_id"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
         F.explode(lists_udf(nprobe)(F.col(query_vec_col))).alias("list_id"),
+        _norm(F.col(query_vec_col).cast("array<double>")).alias("_qn"),
     )
     pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = with_cosine(pairs, "qvec", "cvec")
+    scored = _score_pre_normed(pairs)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -613,18 +656,20 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
         F.explode(bk(F.col(query_vec_col))).alias("bucket"),
+        _norm(F.col(query_vec_col).cast("array<double>")).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.explode(bk(F.col(vec_col))).alias("bucket"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
     )
     pairs = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = with_cosine(pairs, "qvec", "cvec")
+    scored = _score_pre_normed(pairs)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # floor scan parallelism at the core budget (guide §6): a 126 MB
+        # 6-row-group parquet otherwise becomes TWO 64 MB splits — every
+        # probe/agg over it then runs on 2 of 32 cores. The floor is
+        # scale-adaptive by construction: big inputs already exceed it (the
+        # bytes ceiling governs), small inputs split down to row-group
+        # granularity so cores stay busy. Parameterised via cores, never a
+        # local-only constant.
+        .config("spark.sql.files.minPartitionNum", str(2 * cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
