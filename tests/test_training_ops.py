@@ -686,6 +686,41 @@ class TestCosineDedup:
             }
             assert got == {(0, 1, 0.45)}, (method, got)
 
+    def test_blocked_handles_empty_blocks(self, spark):
+        """ADVICE r6: hash assignment can leave blocks EMPTY — an
+        off-diagonal group with an empty right side must not re-emit the
+        left block's within-pairs (duplicate rows), and an empty left side
+        must not crash the norm. Forcing block_rows=1 with a wildly
+        inflated n_rows hint makes nearly every block-pair group degenerate;
+        results must still equal the exact cross-join, using collect()
+        LISTS (not sets) so duplicates are caught."""
+        from dsm2dtm_spark import synth
+
+        pdf = synth.embedding_table(9, dim=8, n_clusters=2, dup_fraction=0.3, seed=11)
+        sdf = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        exact = sorted(
+            (r.left_id, r.right_id, r.cosine)
+            for r in S.cosine_pairs(sdf, 0.3, method="exact").collect()
+        )
+        for n_hint in (None, 9, 500):  # 500 ⇒ ~500 blocks for 9 rows
+            got = sorted(
+                (r.left_id, r.right_id, r.cosine)
+                for r in S.cosine_pairs(
+                    sdf, 0.3, method="blocked", block_rows=1, n_rows=n_hint
+                ).collect()
+            )
+            assert got == exact, n_hint
+        # cosine_dedup passthrough (ADVICE r6 low): tuned block size and
+        # rounding reach the blocked path and keep results identical
+        kept_e = {r.vec_id for r in S.cosine_dedup(sdf, 0.3, method="exact").collect()}
+        kept_b = {
+            r.vec_id
+            for r in S.cosine_dedup(
+                sdf, 0.3, method="blocked", block_rows=2, round_digits=6, n_rows=9
+            ).collect()
+        }
+        assert kept_b == kept_e
+
     def test_bucket_cap_drops_hot_buckets_gracefully(self, spark):
         """Skew guard: a flood of identical vectors makes every bucket of
         every table hot; with a cap those buckets are dropped (no pairs — the
