@@ -665,21 +665,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_fingerprints"] = docs_fingerprints
 
     def docs_jaccard_consecutive(spark, sf):
-        from dsm2dtm_spark.operators.dedup import shingle_expr
+        # consecutive (doc_id, doc_id+1) pairs via ONE bucket exchange + a
+        # lead() window (r7) — the join formulation shuffled the shingle
+        # arrays twice and broadcast-collected a ~100 MB build side (plan:
+        # BroadcastExchange over 50k gram arrays). Here each doc's text
+        # moves once, keyed by doc_id div C; a boundary doc (doc_id % C = 0)
+        # is exploded into the previous bucket too, so every consecutive
+        # pair is interior to exactly one bucket (the duplicate is its
+        # bucket's LAST row — lead() is null there, so it emits nothing).
+        # Shingles are computed once per row ABOVE the exchange (explicit
+        # repartition, so the per-doc O(len) work spreads across the
+        # cluster, not the single-file scan task), via the Arrow-batched
+        # shingle twin (shingle_grams_udf — the interpreted HOF chain
+        # measured 1.8 s/pass at sf1, the UDF ~0.3 s; values identical,
+        # lower() stays in the JVM). Identical pair set and identical
+        # jaccard expression on identical gram arrays.
+        from dsm2dtm_spark.operators.dedup import shingle_grams_udf
 
-        # shingle each doc ONCE, then join pairs on the precomputed arrays.
-        # The lazy checkpoint makes "once" literal (r7): without it Catalyst
-        # re-derives the shingle subtree for each join side — two full
-        # interpreted shingle passes (measured ~1 s each at sf1)
-        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)  # single-file input: spread the shingle work
-        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams")).localCheckpoint(
-            eager=False
-        )
-        left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
-        right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
-        pairs = left.join(right, on="left_id")
+        bucket_w = 256
+        d = _t(spark, sf, "documents")
+        div = F.expr(f"doc_id div {bucket_w}")
+        buckets = F.when(
+            (F.pmod(F.col("doc_id"), F.lit(bucket_w)) == 0), F.array(div, div - 1)
+        ).otherwise(F.array(div))
+        keyed = d.select("doc_id", "text", F.explode(buckets).alias("_b"))
+        keyed = keyed.repartition(spark.sparkContext.defaultParallelism, "_b")
+        sh = keyed.select("doc_id", "_b", shingle_grams_udf(3)(F.lower(F.col("text"))).alias("lg"))
+        w = Window.partitionBy("_b").orderBy("doc_id")
+        paired = sh.select(
+            F.col("doc_id").alias("left_id"),
+            "lg",
+            F.lead("doc_id").over(w).alias("right_id"),
+            F.lead("lg").over(w).alias("rg"),
+        ).filter(F.col("right_id") == F.col("left_id") + 1)
         jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)
-        return pairs.select("left_id", "right_id", jac.alias("jaccard"))
+        return paired.select("left_id", "right_id", jac.alias("jaccard"))
 
     q["docs_jaccard_consecutive"] = docs_jaccard_consecutive
 
@@ -689,19 +709,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (edges: jaccard(doc, doc+1) >= 0.5). The Spark side is the generic
         # CC operator; the oracle exploits that this edge set is a chain, so
         # cluster_id = running max of run-start ids — a pure window in SQL.
-        from dsm2dtm_spark.operators.dedup import connected_components, shingle_expr
+        from dsm2dtm_spark.operators.dedup import connected_components, shingle_grams_udf
 
-        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-        # same shingle-once checkpoint as docs_jaccard_consecutive (r7)
-        sh = d.select(F.col("doc_id"), shingle_expr("text").alias("grams")).localCheckpoint(
-            eager=False
-        )
-        left = sh.selectExpr("doc_id AS left_id", "grams AS lg")
-        right = sh.selectExpr("doc_id - 1 AS left_id", "doc_id AS right_id", "grams AS rg")
+        # same one-exchange bucket-window pair shape + Arrow shingle as
+        # docs_jaccard_consecutive (r7) — see there for the equivalence
+        # argument; only the ≥0.5 edge filter and the CC differ
+        bucket_w = 256
+        d = _t(spark, sf, "documents")
+        div = F.expr(f"doc_id div {bucket_w}")
+        buckets = F.when(
+            (F.pmod(F.col("doc_id"), F.lit(bucket_w)) == 0), F.array(div, div - 1)
+        ).otherwise(F.array(div))
+        keyed = d.select("doc_id", "text", F.explode(buckets).alias("_b"))
+        keyed = keyed.repartition(spark.sparkContext.defaultParallelism, "_b")
+        sh = keyed.select("doc_id", "_b", shingle_grams_udf(3)(F.lower(F.col("text"))).alias("lg"))
+        wb = Window.partitionBy("_b").orderBy("doc_id")
+        paired = sh.select(
+            F.col("doc_id").alias("left_id"),
+            "lg",
+            F.lead("doc_id").over(wb).alias("right_id"),
+            F.lead("lg").over(wb).alias("rg"),
+        ).filter(F.col("right_id") == F.col("left_id") + 1)
         jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)
-        edges = left.join(right, on="left_id").select("left_id", "right_id", jac.alias("j")).filter(
-            F.col("j") >= 0.5
-        )
+        edges = paired.select("left_id", "right_id", jac.alias("j")).filter(F.col("j") >= 0.5)
         return connected_components(d.select("doc_id"), edges, id_col="doc_id")
 
     q["docs_dup_clusters"] = docs_dup_clusters

@@ -17,6 +17,7 @@ Scale notes (the 100 TB framing):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Mersenne prime 2^31−1: after reducing the 64-bit shingle hash mod P, the
@@ -46,6 +47,37 @@ def shingle_expr(text_col: str, n: int = 3):
         f" array_distinct(transform(sequence(1, greatest(length(t) - {n - 1}, 1)),"
         f" i -> substring(t, i, {n}))))[0]"
     )
+
+
+def shingle_grams_udf(n: int = 3):
+    """Arrow-batched twin of ``shingle_expr`` over JVM-LOWERED text (pass it
+    ``F.lower(col)`` — the unicode case mapping must stay the JVM's, exactly
+    like the md5 MinHash signer). Value-identical by construction:
+
+    - Python ``t[i:i+n]`` slices codepoints exactly like ``substring(t, i+1,
+      n)`` (both clamp at the end; Spark strings index by codepoint);
+    - the gram count is ``max(len(t) - n + 1, 1)`` — the expression's
+      ``greatest(length(t) - (n-1), 1)``, so sub-``n``-length docs yield the
+      single clamped partial gram ("" for empty text) exactly as before;
+    - ``dict.fromkeys`` keeps first-occurrence order == ``array_distinct``;
+    - NULL text → ``[None]`` (the expression's ``substring(NULL,...)`` path).
+
+    Why: the expression form is an interpreted higher-order-function chain
+    (no codegen) measured at 1.8 s per 50k-doc pass at sf1 — the dominant
+    cost of every consecutive-pair query (r7, guide §4.2)."""
+
+    @F.pandas_udf("array<string>")
+    def grams(lowered: pd.Series) -> pd.Series:
+        out = []
+        for t in lowered:
+            if t is None:
+                out.append([None])
+                continue
+            m = max(len(t) - n + 1, 1)
+            out.append(list(dict.fromkeys(t[i : i + n] for i in range(m))))
+        return pd.Series(out, dtype=object)
+
+    return grams
 
 
 def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str, n: int = 3) -> DataFrame:

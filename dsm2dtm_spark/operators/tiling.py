@@ -240,6 +240,56 @@ def image_stats(
     return images.mapInPandas(stats, STATS_SCHEMA)
 
 
+def halo_from_metadata(images: DataFrame, radius_m: float | None) -> DataFrame:
+    """(image_id, halo_px) from METADATA alone — no decode. Windows, sigmas
+    and therefore the halo depend only on (resolution, dims, radius): this is
+    exactly the pre-decode derivation ``image_stats`` runs (same
+    ``derive_params``/``apply_radius_override``/``total_influence_px`` calls
+    on the same inputs — ``slope`` never enters, it only patches ``slope_px``
+    after estimation), so the value is the same integer.
+
+    Purpose (r7, guide §1.2 "remove unnecessary passes"): pass 2's tile cut
+    needs ONLY ``halo_px`` from pass 1, but the halo join made the whole
+    decode-everything stats pass a *serial* prerequisite of the tile stages.
+    With the halo derived from metadata, pass 1 devolves to a broadcast-build
+    subtree of the process join that AQE materializes CONCURRENTLY with the
+    emit/shuffle map stage — same two decode passes, no longer back-to-back.
+    The same metadata safety checks fail fast here (coarse row reaching the
+    tile stages, runaway halo)."""
+
+    def halos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "halo_px": []}
+            for row in pdf.itertuples(index=False):
+                cell_size = max((abs(row.xres_m) + abs(row.yres_m)) / 2.0, 0.001)
+                if cell_size < MIN_PROCESS_RES_M * 0.9:
+                    raise ValueError(
+                        f"{row.image_id}: cell_size {cell_size} routes to the coarse "
+                        "path, which is whole-image by construction — use the "
+                        "whole-image plan"
+                    )
+                max_dim = max(int(row.h), int(row.w))
+                p = derive_params(cell_size, max_image_dim=max_dim, base_slope=PMF_BASE_SLOPE)
+                if radius_m is not None:
+                    apply_radius_override(p, radius_m, cell_size, max_dim)
+                halo = total_influence_px(p)
+                if halo > MAX_HALO_PX:
+                    raise ValueError(
+                        f"{row.image_id}: derived halo {halo}px exceeds the safety cap "
+                        f"{MAX_HALO_PX}px (kernel cap {MAX_WINDOW_PX}px); "
+                        "reduce the radius or downsample first"
+                    )
+                out["image_id"].append(row.image_id)
+                out["halo_px"].append(halo)
+            yield pd.DataFrame(out, columns=["image_id", "halo_px"])
+
+    meta = images.select("image_id", "h", "w", "xres_m", "yres_m")
+    return meta.mapInPandas(
+        halos,
+        StructType([StructField("image_id", StringType()), StructField("halo_px", IntegerType())]),
+    )
+
+
 def emit_tiles(
     images_with_stats: DataFrame,
     tile_px: int,
@@ -324,13 +374,13 @@ def process_tiles(
     salted: bool = True,
     init_threshold: float = PMF_INIT_THRESHOLD,
     max_threshold: float = PMF_MAX_THRESHOLD,
+    n_tiles_hint: int | None = None,
 ) -> DataFrame:
     """Pass 3: salted-shuffle tiles to executors keyed by cell id, then run
     the pipeline per tile with the pass-1 global scalars injected. The
     repartition IS the halo exchange: overlapping pixel strips travel with
     their tile, so no neighbor join is needed afterwards. ``salted=False``
     exists only for the skew A/B benchmark (scripts/skew_ab.py)."""
-    joined = tiles.join(F.broadcast(stats), on="image_id", how="inner")
     keys = [F.col("cell_id"), F.col("salt")] if salted else [F.col("cell_id")]
     # EXPLICIT partition count: with a bare repartition(cols), AQE coalesces
     # this shuffle to ~1 partition per core (parallelismFirst; measured: 192
@@ -340,7 +390,25 @@ def process_tiles(
     # user-specified count is not AQE-coalescible; several tasks per core
     # restore balance.
     n_parts = max(4 * tiles.sparkSession.sparkContext.defaultParallelism, N_SALT)
-    shuffled = joined.repartition(n_parts, *keys)
+    if n_tiles_hint is not None:
+        # a caller-known tile count caps the explicit exchange at one
+        # partition per tile (the useful maximum): each surplus partition is
+        # an EMPTY mapInPandas task that still pays the full python-worker
+        # protocol round trip (measured ~10 ms each — 64 empty tasks ≈
+        # 0.7 s on the 64-tile bench table). Big jobs are unaffected: the
+        # 4×cores term governs as soon as tiles ≥ 4×cores (guide §2).
+        n_parts = max(min(n_parts, n_tiles_hint), N_SALT)
+    # repartition FIRST, attach the broadcast stats on the reduce side (r7):
+    # with the join below the exchange, the stats broadcast build sat in the
+    # same stage as the emit map — pass 1's decode serialized ahead of
+    # pass 2 even when halo_px came from metadata. Probe-side-after-shuffle
+    # lets AQE build the stats broadcast CONCURRENTLY with the emit/shuffle
+    # map stage; the join adds the same scalar columns to the same rows
+    # (equi-join on image_id, partitioning keys untouched), and the shuffle
+    # now moves tile payloads without the duplicated per-tile stats scalars.
+    shuffled = tiles.repartition(n_parts, *keys).join(
+        F.broadcast(stats), on="image_id", how="inner"
+    )
 
     out_schema = StructType(
         [f for f in TILE_SCHEMA.fields if f.name not in ("payload", "salt", "cut_y", "cut_x", "cut_h", "cut_w")]
@@ -429,7 +497,7 @@ STITCHED_SCHEMA = StructType(
 )
 
 
-def stitch(processed: DataFrame) -> DataFrame:
+def stitch(processed: DataFrame, n_images_hint: int | None = None) -> DataFrame:
     """Pass 4: reassemble core regions per image and re-encode in the row's
     original codec — the window-based seam merge (cores partition the image,
     so priority resolution is trivial; overlap auditing lives in the
@@ -465,6 +533,12 @@ def stitch(processed: DataFrame) -> DataFrame:
     # AQE-sized exchange the groupBy would otherwise insert — it can't be
     # byte-coalesced below the core count (assembly cost is rows, not bytes)
     n_parts = max(4 * processed.sparkSession.sparkContext.defaultParallelism, 1)
+    if n_images_hint is not None:
+        # one partition per image is the assembly-parallelism ceiling —
+        # surplus partitions are empty applyInPandas tasks (same ~10 ms
+        # python-protocol cost as process_tiles; 124 of 128 tasks were
+        # empty on the 4-image bench table)
+        n_parts = max(min(n_parts, n_images_hint), 1)
     processed = processed.repartition(n_parts, "image_id")
     return processed.groupBy("image_id").applyInPandas(assemble, STITCHED_SCHEMA)
 
@@ -506,39 +580,98 @@ def tiled_dtm_transform(
     null ``bytes`` and the exception in an extra ``error`` column (null for
     clean rows; the whole-image branch quarantines the same way). At 10^12
     rows a corrupt raster is a certainty, not an edge case."""
+    # explicit param validation (was incidental: the coarse union branch
+    # always called dtm_transform → validate_job_params even with zero
+    # coarse rows; the r7 empty-branch skip would otherwise lose the
+    # fail-fast on e.g. a negative radius)
+    from dsm2dtm_spark.params import DEFAULT_RADIUS_M as _DEF_R
+
+    golden.validate_job_params(radius_m if radius_m is not None else _DEF_R, slope)
+    if output == "tiles" and (permissive or route_coarse):
+        # checked up front (before the zero-coarse-rows fast path can clear
+        # route_coarse): the API contract is about what the CALLER composed
+        raise ValueError("output='tiles' composes with permissive/route_coarse at the caller")
+    cell_size = F.greatest(
+        (F.abs(F.col("xres_m")) + F.abs(F.col("yres_m"))) / 2.0, F.lit(0.001)
+    )
+    # coalesce: under ANSI three-valued logic a NULL xres_m/yres_m fails
+    # BOTH filter(p) and filter(~p) and the row silently vanishes; route
+    # NULL-metadata rows down the standard branch, where pass 1 either
+    # processes or (permissive) quarantines them
+    is_coarse = F.coalesce(cell_size < MIN_PROCESS_RES_M * 0.9, F.lit(False))
+    if not route_coarse:
+        is_coarse = F.lit(False)
+    # ONE metadata-only action (KB-scale pruned scan, no payload bytes)
+    # sizes the explicit exchanges to the DATA instead of to 4×cores alone
+    # (guide §2: scale-adaptive partitioning): tile and image counts cap the
+    # process/stitch partition counts (empty python tasks are not free), and
+    # a zero coarse-row count proves the coarse union contributes nothing —
+    # skipping it removes 3×cores ALWAYS-EMPTY whole-image python tasks per
+    # run on all-standard tables (the common case; results are identical, an
+    # empty branch computes nothing).
+    tcount = F.ceil(F.col("h") / F.lit(tile_px)) * F.ceil(F.col("w") / F.lit(tile_px))
+    m = images.select(is_coarse.alias("_c"), tcount.alias("_t")).agg(
+        F.coalesce(F.sum(F.when(~F.col("_c"), F.col("_t"))), F.lit(0)).alias("n_tiles"),
+        F.coalesce(F.sum(F.when(~F.col("_c"), 1)), F.lit(0)).alias("n_images"),
+        F.coalesce(F.sum(F.when(F.col("_c"), 1)), F.lit(0)).alias("n_coarse"),
+    ).first()
+    n_tiles_hint, n_images_hint = int(m.n_tiles), int(m.n_images)
+    if route_coarse and int(m.n_coarse) == 0:
+        route_coarse = False
     if route_coarse:
-        cell_size = F.greatest(
-            (F.abs(F.col("xres_m")) + F.abs(F.col("yres_m"))) / 2.0, F.lit(0.001)
-        )
-        # coalesce: under ANSI three-valued logic a NULL xres_m/yres_m fails
-        # BOTH filter(p) and filter(~p) and the row silently vanishes; route
-        # NULL-metadata rows down the standard branch, where pass 1 either
-        # processes or (permissive) quarantines them
-        is_coarse = F.coalesce(cell_size < MIN_PROCESS_RES_M * 0.9, F.lit(False))
         coarse_rows = images.filter(is_coarse)
         images = images.filter(~is_coarse)
     # big rows pack few per input split (maxPartitionBytes), capping pass-1/2
     # parallelism far below the cluster (48×16 MB rows → ~12 tasks on 32
-    # cores); compute ≫ scan here exactly like dtm_transform
+    # cores); compute ≫ scan here exactly like dtm_transform. The
+    # UN-repartitioned frame is kept for the metadata/stats side subtrees:
+    # hanging them off the round-robin exchange instead would clone it once
+    # per distinct pruned projection (3 shuffles of the payload bytes,
+    # measured as three back-to-back 64-task stages — guide §2.4)
+    images_raw = images
     images = ensure_min_partitions(images, mult=2)
-    stats = image_stats(images, radius_m, slope, chunked=chunked, permissive=permissive)
-    # pass 1 decodes every raster; it feeds 2-3 plan subtrees (halo join,
-    # process join, quarantine join) that Catalyst would each recompute —
-    # materialize the KB-scale stats rows once so the decode runs once
-    stats = stats.localCheckpoint(eager=True)
-    good_stats = stats.filter(F.col("error").isNull()) if permissive else stats
+    if permissive:
+        # quarantine mode: pass 1 is the single decode point that decides
+        # which rows are poison, so it must gate the tile stages (emit may
+        # only ever decode error-free rows) AND feed the quarantine join —
+        # materialize the KB-scale stats rows once so the decode runs once
+        stats = image_stats(images, radius_m, slope, chunked=chunked, permissive=True)
+        stats = stats.localCheckpoint(eager=True)
+        good_stats = stats.filter(F.col("error").isNull())
+        halo_src = good_stats.select("image_id", "halo_px")
+    else:
+        # fast path (r7): the tile cut needs only halo_px, which is pure
+        # metadata (halo_from_metadata) — so the decode-everything stats
+        # pass is no longer a serial prerequisite of pass 2. It becomes the
+        # build side of process_tiles' broadcast join (its single consumer:
+        # no checkpoint needed, the subtree executes once) and AQE
+        # materializes that broadcast stage concurrently with the
+        # emit→shuffle map stage. Outputs are bit-identical: same halo, same
+        # stats, same per-tile kernels.
+        # both side subtrees read the RAW scan: the halo pass prunes to a
+        # KB-scale metadata scan (no payload bytes read — parquet column
+        # pruning), and the stats pass decodes straight off the file splits
+        # (its parallelism ceiling is the image count anyway; only the
+        # pixel-kernel pass 3 needs the round-robin spread)
+        stats = image_stats(images_raw, radius_m, slope, chunked=chunked, permissive=False)
+        good_stats = stats
+        halo_src = halo_from_metadata(images_raw, radius_m)
     tiles = emit_tiles(
-        images.join(F.broadcast(good_stats.select("image_id", "halo_px")), on="image_id", how="inner"),
+        images.join(F.broadcast(halo_src), on="image_id", how="inner"),
         tile_px,
         cell_res,
         chunked=chunked,
     )
-    processed = process_tiles(tiles, good_stats, init_threshold=init_threshold, max_threshold=max_threshold)
+    processed = process_tiles(
+        tiles,
+        good_stats,
+        init_threshold=init_threshold,
+        max_threshold=max_threshold,
+        n_tiles_hint=n_tiles_hint,
+    )
     if output == "tiles":
-        if permissive or route_coarse:
-            raise ValueError("output='tiles' composes with permissive/route_coarse at the caller")
         return processed
-    out = stitch(processed)
+    out = stitch(processed, n_images_hint=n_images_hint)
     if permissive:
         out = out.withColumn("error", F.lit(None).cast("string"))
         quarantined = images.join(
