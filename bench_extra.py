@@ -43,7 +43,13 @@ def cmd_query(name: str, n_passes: int = 3):
     walls = []
     for i in range(n_passes):
         spark.sparkContext.setJobDescription(f"{name} pass {i}")
-        walls.append(round(_noop(fn(spark, sf_dir)), 2))
+        # time BUILD + EXECUTE (bench.py's exact shape): a query whose
+        # construction localCheckpoints triggers AQE stage materialization
+        # at plan-build time — timing only the .save() hid multi-second
+        # real work for docs_incremental_dedup (r7 honest-measurement fix)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.time() - t0, 2))
     print({"query": name, "sf_dir": sf_dir, "runs": walls, "min": min(walls)})
 
 
@@ -78,7 +84,9 @@ def cmd_suite(names: list[str], n_passes: int = 3):
     for p in range(n_passes):
         for name in names:
             spark.sparkContext.setJobDescription(f"{name} pass {p}")
-            runs[name].append(round(_noop(qs[name](spark, sf_dir)), 2))
+            t0 = time.time()  # build + execute, like bench.py (see cmd_query)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.time() - t0, 2))
     print(json.dumps({
         "sf_dir": sf_dir,
         "min": {n: min(r) for n, r in runs.items()},

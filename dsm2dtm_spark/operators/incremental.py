@@ -76,8 +76,21 @@ def _md5_minhash_sig_udf(n_hashes: int, shingle_n: int):
 
         import numpy as np
 
-        cache = _MD5_GRAM_CACHE.setdefault((n_hashes, shingle_n), {})
+        # r7 #2: the cache maps gram → ROW INDEX into one growing
+        # (N, n_hashes, 2) uint64 matrix of (hi, lo) halves of the md5
+        # digest; a document's component mins then come from ONE fancy-index
+        # gather + vectorized 128-bit lexicographic min (min of hi, then min
+        # of lo among hi-minimal rows) instead of stacking per-gram S32
+        # arrays and a full O(g log g) byte-string sort per doc (measured
+        # 656 → 155 µs/doc, outputs byte-identical: hexdigest order ==
+        # (hi, lo) numeric order == '%016x%016x' formatting).
+        st = _MD5_GRAM_CACHE.setdefault(
+            (n_hashes, shingle_n),
+            {"idx": {}, "mat": np.empty((4096, n_hashes, 2), dtype=np.uint64), "n": 0},
+        )
+        idx_cache, mat = st["idx"], st["mat"]
         prefixes = [f"{i}:".encode() for i in range(n_hashes)]
+        maxu = np.uint64(0xFFFFFFFFFFFFFFFF)
         out = []
         for t in lowered_batch:
             if t is None:
@@ -86,24 +99,34 @@ def _md5_minhash_sig_udf(n_hashes: int, shingle_n: int):
             # same gram set as shingle_expr: substrings at 0..len-n (at
             # least one — short texts yield themselves), distinct
             grams = {t[i : i + shingle_n] for i in range(max(len(t) - shingle_n + 1, 1))}
-            rows = []
+            idxs = []
             for g in grams:
-                h = cache.get(g)
-                if h is None:
-                    if len(cache) >= _MD5_CACHE_MAX:
-                        cache.clear()
+                ix = idx_cache.get(g)
+                if ix is None:
+                    if st["n"] >= _MD5_CACHE_MAX:
+                        # bounded degrade: forget, recompute — never wrong
+                        idx_cache.clear()
+                        st["n"] = 0
+                    if st["n"] >= mat.shape[0]:
+                        mat = np.concatenate([mat, np.empty_like(mat)])
+                        st["mat"] = mat
                     gb = g.encode("utf-8")
-                    # byte-identical to Spark's md5(concat_ws(':', i, g)):
-                    # lowercase hex over the utf-8 bytes of 'i:gram'
-                    h = np.array(
-                        [hashlib.md5(p + gb).hexdigest() for p in prefixes], dtype="S32"
-                    )
-                    cache[g] = h
-                rows.append(h)
-            # columnwise min over ASCII-hex bytes == Spark's min over
-            # VARCHAR (np.minimum has no bytes loop; sort does)
-            mins = np.sort(np.stack(rows), axis=0)[0]
-            out.append([m.decode("ascii") for m in mins])
+                    row = st["n"]
+                    for j, p in enumerate(prefixes):
+                        # byte-identical to Spark's md5(concat_ws(':', i, g)):
+                        # the digest bytes whose lowercase hex IS hexdigest
+                        d = hashlib.md5(p + gb).digest()
+                        mat[row, j, 0] = int.from_bytes(d[:8], "big")
+                        mat[row, j, 1] = int.from_bytes(d[8:], "big")
+                    idx_cache[g] = row
+                    st["n"] = row + 1
+                    ix = row
+                idxs.append(ix)
+            m = mat[idxs]
+            hi, lo = m[:, :, 0], m[:, :, 1]
+            hi_min = hi.min(0)
+            lo_min = np.where(hi == hi_min, lo, maxu).min(0)
+            out.append([f"{h:016x}{l:016x}" for h, l in zip(hi_min.tolist(), lo_min.tolist())])
         return pd.Series(out, dtype=object)
 
     return sig
@@ -180,7 +203,11 @@ def sign_documents(
 
 
 def band_buckets(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, carry_signature: bool = False
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    carry_signature: bool = False,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Explode (id, signature) → narrow (id, band, bucket) LSH band rows.
     bucket = md5 of the band's '|'-joined components — one string expression
@@ -189,9 +216,35 @@ def band_buckets(
 
     ``carry_signature=True`` keeps the signature array on each band row
     (4× payload duplication) — used by the shuffle-path verify so the
-    candidate pair stream needs no signature-attach join at all (r7)."""
-    rows_per_band = (F.size("signature") / bands).cast("int")
+    candidate pair stream needs no signature-attach join at all (r7).
+
+    ``n_hashes`` (optional): when the caller knows the signature length, the
+    per-band bucket unrolls to ``md5(concat_ws('|', get(sig, i)...))`` over
+    a ``posexplode`` of the per-row bucket array — whole-stage-codegen
+    expressions, where the generic ``transform``/``array_join`` lambda chain
+    is CodegenFallback (interpreted per band row; measured ~10 of the 19
+    JVM-CPU core-s the two band stages burned per sf1 pass, r7 guide §4.1).
+    Values are identical for well-formed rows: ``concat_ws`` and
+    ``array_join`` join non-null strings the same way, and every signature
+    this engine writes has exactly ``n_hashes`` non-null components."""
     out_cols = [id_col, "band"]
+    if n_hashes is not None:
+        rpb = n_hashes // bands
+        bucket_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.get("signature", b * rpb + j).cast("string") for j in range(rpb)],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        sel = [F.col(id_col), F.posexplode(bucket_arr).alias("band", "bucket")]
+        keep = ["signature"] if carry_signature else []
+        return signatures.select(*sel, *keep).select(*out_cols, "bucket", *keep)
+    rows_per_band = (F.size("signature") / bands).cast("int")
     bucket = F.md5(
         F.array_join(
             F.transform(
@@ -1005,6 +1058,12 @@ def dedup_against(
     fresh_fp = fresh.select(F.col(id_col), F.col(text_col)).withColumn(
         "fingerprint", F.md5(F.col(text_col))
     )
+    if materialize_fresh:
+        # fresh_fp feeds the exact semi-join, the anti-join remainder AND
+        # (through `remaining`) the signing subtree — without this the
+        # fresh scan + fingerprint md5 re-executes once per consumer
+        # (3-4 scans per run measured in the final assembly query, r7)
+        fresh_fp = fresh_fp.localCheckpoint(eager=False)
     if broadcast_fresh:
         matched = _matched_fingerprints(stored_signatures, fresh_fp)
         if materialize_fresh:
@@ -1048,7 +1107,7 @@ def dedup_against(
     # unrolled codegen form, see _est_jaccard_expr
     est_j = _est_jaccard_expr(n_hashes)
     if broadcast_fresh:
-        fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands)
+        fresh_bands = band_buckets(fresh_sigs, id_col=id_col, bands=bands, n_hashes=n_hashes)
         corpus_bands = stored_bands.select(
             F.col(id_col).alias("_cid"), F.col("band"), F.col("bucket")
         )
@@ -1091,20 +1150,25 @@ def dedup_against(
         # stored signatures — md5 of array slices, nothing re-shingled);
         # the narrow band table remains the broadcast path's stream source.
         fb = band_buckets(
-            fresh_sigs, id_col=id_col, bands=bands, carry_signature=True
+            fresh_sigs, id_col=id_col, bands=bands, carry_signature=True, n_hashes=n_hashes
         ).withColumnRenamed("signature", "_fsig")
         cb = band_buckets(
             stored_signatures.select(F.col(id_col).alias("_cid"), "signature"),
             id_col="_cid",
             bands=bands,
             carry_signature=True,
+            n_hashes=n_hashes,
         ).withColumnRenamed("signature", "_csig")
         if method == "md5":
             # est only needs per-component EQUALITY, and unhex is a
             # bijection on md5 hex — comparing 16-byte binaries instead of
             # 32-char strings gives the identical match count at half the
-            # bytes compared AND half the band-row payload shuffled
-            as_bin = lambda c: F.transform(F.col(c), lambda x: F.unhex(x)).alias(c)  # noqa: E731
+            # bytes compared AND half the band-row payload shuffled.
+            # Unrolled array-of-get form (r7): the transform(...) lambda is
+            # CodegenFallback — interpreted once per band row
+            as_bin = lambda c: F.array(  # noqa: E731
+                *[F.unhex(F.get(F.col(c), j)) for j in range(n_hashes)]
+            ).alias(c)
             fb = fb.select(id_col, "band", "bucket", as_bin("_fsig"))
             cb = cb.select("_cid", "band", "bucket", as_bin("_csig"))
         if hot is not None:
