@@ -635,7 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_token_stats(spark, sf):
         from dsm2dtm_spark.functions.text import quality_features
 
-        d = _t(spark, sf, "documents")
+        # single-row-group input: without the round-robin spread the token
+        # UDF + regex run on ONE task (measured 1.28 s vs ~0.2 s across 32
+        # cores at sf1, r7 guide §2.5 input skew)
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         return quality_features(d).select(
             "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
         )
@@ -645,7 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_lang_id(spark, sf):
         from dsm2dtm_spark.functions.text import language_id
 
-        d = _t(spark, sf, "documents")
+        # spread the tokenize+explode off the single-row-group scan task (r7)
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         return language_id(d).select("doc_id", "lang_pred", F.col("hits").cast("long").alias("hits"))
 
     q["docs_lang_id"] = docs_lang_id
@@ -900,7 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the scrubbed text
         from dsm2dtm_spark.functions.text import scrub_pii
 
-        d = _t(spark, sf, "documents").withColumn(
+        # spread the 3-pattern regex scrub off the single scan task (r7)
+        d = _t(spark, sf, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ).withColumn(
             "text",
             F.when(
                 F.col("doc_id") % 10 == 0,
@@ -953,7 +960,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         queries_df = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
-        return brute_force_topk(e, queries_df, k=5).select("query_id", "neighbor_id", "rank")
+        # single-row-group input: spread the 100k-pair scoring off the one
+        # scan task (measured 1.1 -> 0.4 s at sf1, r7); queries stay on the
+        # pruned scan (5 rows)
+        return brute_force_topk(
+            e.repartition(spark.sparkContext.defaultParallelism), queries_df, k=5
+        ).select("query_id", "neighbor_id", "rank")
 
     q["emb_topk_cosine"] = emb_topk_cosine
 
