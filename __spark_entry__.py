@@ -633,12 +633,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- documents: text analysis + dedup
 
     def docs_token_stats(spark, sf):
+        import pyarrow.parquet as pq
+
         from dsm2dtm_spark.functions.text import quality_features
 
         # single-row-group input: without the round-robin spread the token
         # UDF + regex run on ONE task (measured 1.28 s vs ~0.2 s across 32
-        # cores at sf1, r7 guide §2.5 input skew)
-        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        # cores at sf1, r7 guide §2.5 input skew). Footer-row-gated: at
+        # sf0.1's 5k docs the extra Exchange costs more than the one-task
+        # penalty it removes (0.35 → 0.51 s measured), so small inputs keep
+        # the plain scan — scale-adaptive, not tuned to either size.
+        d = _t(spark, sf, "documents")
+        n = pq.ParquetFile(os.path.join(sf, "documents.parquet")).metadata.num_rows
+        if n >= 16_000:
+            d = d.repartition(spark.sparkContext.defaultParallelism)
         return quality_features(d).select(
             "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
         )
@@ -677,13 +685,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is exploded into the previous bucket too, so every consecutive
         # pair is interior to exactly one bucket (the duplicate is its
         # bucket's LAST row — lead() is null there, so it emits nothing).
-        # Shingles are computed once per row ABOVE the exchange (explicit
-        # repartition, so the per-doc O(len) work spreads across the
-        # cluster, not the single-file scan task), via the Arrow-batched
-        # shingle twin (shingle_grams_udf — the interpreted HOF chain
-        # measured 1.8 s/pass at sf1, the UDF ~0.3 s; values identical,
-        # lower() stays in the JVM). Identical pair set and identical
-        # jaccard expression on identical gram arrays.
+        # Pair texts with a lead() window over the bucket exchange, THEN
+        # shingle both sides via the Arrow-batched twin (shingle_grams_udf —
+        # the interpreted HOF chain measured 1.8 s/pass at sf1, the UDF
+        # ~0.3 s; values identical, lower() stays in the JVM). Shingling
+        # post-window means gram arrays (2-3x the text bytes) never cross
+        # an exchange — only the raw text moves, once; each doc shingles
+        # twice (as left and as right), which the cheap UDF makes free.
+        # (ArrowEvalPython does not preserve child partitioning in Spark
+        # 4.1, so a pre-window shingle forces a second full-gram Exchange —
+        # measured, hence this order.)
         from dsm2dtm_spark.operators.dedup import shingle_grams_udf
 
         bucket_w = 256
@@ -693,16 +704,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.pmod(F.col("doc_id"), F.lit(bucket_w)) == 0), F.array(div, div - 1)
         ).otherwise(F.array(div))
         keyed = d.select("doc_id", "text", F.explode(buckets).alias("_b"))
-        keyed = keyed.repartition(spark.sparkContext.defaultParallelism, "_b")
-        sh = keyed.select("doc_id", "_b", shingle_grams_udf(3)(F.lower(F.col("text"))).alias("lg"))
         w = Window.partitionBy("_b").orderBy("doc_id")
-        paired = sh.select(
+        paired = keyed.select(
             F.col("doc_id").alias("left_id"),
-            "lg",
+            "text",
             F.lead("doc_id").over(w).alias("right_id"),
-            F.lead("lg").over(w).alias("rg"),
+            F.lead("text").over(w).alias("rtext"),
         ).filter(F.col("right_id") == F.col("left_id") + 1)
-        jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)
+        sh = shingle_grams_udf(3)
+        lg, rg = sh(F.lower(F.col("text"))), sh(F.lower(F.col("rtext")))
+        jac = F.round(F.size(F.array_intersect(lg, rg)) / F.size(F.array_union(lg, rg)), 4)
         return paired.select("left_id", "right_id", jac.alias("jaccard"))
 
     q["docs_jaccard_consecutive"] = docs_jaccard_consecutive
@@ -715,9 +726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster_id = running max of run-start ids — a pure window in SQL.
         from dsm2dtm_spark.operators.dedup import connected_components, shingle_grams_udf
 
-        # same one-exchange bucket-window pair shape + Arrow shingle as
-        # docs_jaccard_consecutive (r7) — see there for the equivalence
-        # argument; only the ≥0.5 edge filter and the CC differ
+        # same one-exchange bucket-window pair shape + post-window Arrow
+        # shingle as docs_jaccard_consecutive (r7) — see there for the
+        # equivalence argument; only the ≥0.5 edge filter and the CC differ
         bucket_w = 256
         d = _t(spark, sf, "documents")
         div = F.expr(f"doc_id div {bucket_w}")
@@ -725,16 +736,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.pmod(F.col("doc_id"), F.lit(bucket_w)) == 0), F.array(div, div - 1)
         ).otherwise(F.array(div))
         keyed = d.select("doc_id", "text", F.explode(buckets).alias("_b"))
-        keyed = keyed.repartition(spark.sparkContext.defaultParallelism, "_b")
-        sh = keyed.select("doc_id", "_b", shingle_grams_udf(3)(F.lower(F.col("text"))).alias("lg"))
         wb = Window.partitionBy("_b").orderBy("doc_id")
-        paired = sh.select(
+        paired = keyed.select(
             F.col("doc_id").alias("left_id"),
-            "lg",
+            "text",
             F.lead("doc_id").over(wb).alias("right_id"),
-            F.lead("lg").over(wb).alias("rg"),
+            F.lead("text").over(wb).alias("rtext"),
         ).filter(F.col("right_id") == F.col("left_id") + 1)
-        jac = F.round(F.size(F.array_intersect("lg", "rg")) / F.size(F.array_union("lg", "rg")), 4)
+        sh = shingle_grams_udf(3)
+        lg, rg = sh(F.lower(F.col("text"))), sh(F.lower(F.col("rtext")))
+        jac = F.round(F.size(F.array_intersect(lg, rg)) / F.size(F.array_union(lg, rg)), 4)
         edges = paired.select("left_id", "right_id", jac.alias("j")).filter(F.col("j") >= 0.5)
         return connected_components(d.select("doc_id"), edges, id_col="doc_id")
 

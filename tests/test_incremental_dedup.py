@@ -486,3 +486,46 @@ class TestMd5SignatureProperties:
         )
         assert [r.verdict for r in uncapped.collect()] == ["near"]
         assert [r.verdict for r in capped.collect()] == ["keep"]
+
+
+class TestBandBucketsUnrolled:
+    """r7: band_buckets(n_hashes=...) unrolls the bucket expression to
+    codegen concat_ws/get — the bucket VALUES must equal the generic
+    transform/array_join form for both signature flavors."""
+
+    def test_md5_flavor_equal(self, spark):
+        import pandas as pd
+
+        sigs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1],
+                    "signature": [[f"{i:032x}" for i in range(16)], [f"{i + 7:032x}" for i in range(16)]],
+                }
+            )
+        )
+        a = sorted(map(tuple, band_buckets(sigs, bands=4).collect()))
+        b = sorted(map(tuple, band_buckets(sigs, bands=4, n_hashes=16).collect()))
+        assert a == b
+
+    def test_bigint_flavor_equal(self, spark):
+        import pandas as pd
+
+        sigs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "signature": [[int(x) for x in range(16)]]})
+        )
+        a = sorted(map(tuple, band_buckets(sigs, bands=4).collect()))
+        b = sorted(map(tuple, band_buckets(sigs, bands=4, n_hashes=16).collect()))
+        assert a == b
+
+    def test_carry_signature_equal(self, spark):
+        import pandas as pd
+
+        sigs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [3], "signature": [[f"{i:032x}" for i in range(16)]]})
+        )
+        a = sorted(map(tuple, band_buckets(sigs, bands=4, carry_signature=True).collect()))
+        b = sorted(
+            map(tuple, band_buckets(sigs, bands=4, carry_signature=True, n_hashes=16).collect())
+        )
+        assert a == b

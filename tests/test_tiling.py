@@ -382,3 +382,27 @@ class TestChunkedStats:
                     np.testing.assert_array_equal(blk, want[lo:hi])
                     seen.append((y0, y1))
                 assert seen[0][0] == 0 and seen[-1][1] == 97
+
+
+class TestHaloFromMetadata:
+    """r7: halo_from_metadata must equal image_stats' halo_px for every row
+    (it is the derivation image_stats runs pre-decode, without the decode)."""
+
+    def test_equals_image_stats_halo(self, spark):
+        sdf = spark.createDataFrame(big_image_pdf())
+        a = {r.image_id: r.halo_px for r in tiling.image_stats(sdf, RADIUS, None).collect()}
+        b = {r.image_id: r.halo_px for r in tiling.halo_from_metadata(sdf, RADIUS).collect()}
+        assert a == b
+
+    def test_metadata_failfast_matches(self, spark):
+        # the same runaway-kernel metadata shape image_stats fails fast on
+        # (garbage bytes unused — halo derives from metadata alone)
+        pdf = big_image_pdf().iloc[:1].copy()
+        pdf["xres_m"] = 0.5
+        pdf["yres_m"] = 0.5
+        pdf["h"] = 50_000
+        pdf["w"] = 50_000
+        pdf["bytes"] = [b"not-a-raster"]
+        sdf = spark.createDataFrame(pdf)
+        with pytest.raises(Exception, match="safety cap"):
+            tiling.halo_from_metadata(sdf, 5000.0).collect()

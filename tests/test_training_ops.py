@@ -926,3 +926,75 @@ class TestRepeatedPassages:
         docs = self._docs(spark, [(0, f"{block} {block}")])
         r = repeated_passage_stats(docs, window=8, stride=8).collect()[0]
         assert r.n_windows == 2 and r.n_repeated == 0
+
+
+class TestShingleGramsUdf:
+    """r7: shingle_grams_udf is the Arrow twin of shingle_expr — the parity
+    must hold on the edges the expression semantics define (short/empty/null
+    text, unicode lowercasing done in the JVM, first-occurrence distinct)."""
+
+    def test_matches_shingle_expr_on_edges(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from dsm2dtm_spark.operators.dedup import shingle_expr, shingle_grams_udf
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, ""),                       # empty → [""]
+            (2, "ab"),                     # shorter than n → one clamped gram
+            (3, "ÄÖÜ SS ß İstanbul"),      # JVM lower() semantics
+            (4, None),                     # NULL text → [None]
+            (5, "aaaaa"),                  # distinct collapses repeats
+            (6, "x" * 500),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        a = {r.doc_id: r.g for r in df.select("doc_id", shingle_expr("text").alias("g")).collect()}
+        b = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", shingle_grams_udf(3)(F.lower(F.col("text"))).alias("g")
+            ).collect()
+        }
+        assert a == b
+
+    def test_n5_matches_too(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from dsm2dtm_spark.operators.dedup import shingle_expr, shingle_grams_udf
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["five gram shingles here", "hi"]})
+        )
+        a = [r.g for r in df.select(shingle_expr("text", 5).alias("g")).collect()]
+        b = [
+            r.g
+            for r in df.select(shingle_grams_udf(5)(F.lower(F.col("text"))).alias("g")).collect()
+        ]
+        assert a == b
+
+
+class TestDecontamDedupEval:
+    def test_dedup_eval_false_identical(self, spark):
+        # r7: count_distinct collapses duplicate matches, so skipping the
+        # eval-side distinct (the flood-guard Exchange) cannot change results
+        import pandas as pd
+
+        from dsm2dtm_spark.operators.decontam import ngram_contamination
+
+        boiler = "one two three four five six seven eight nine ten eleven twelve thirteen"
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [boiler + " tail", "clean words only here"]})
+        )
+        # duplicate eval docs → duplicate eval grams when not deduped
+        ev = spark.createDataFrame(pd.DataFrame({"doc_id": [10, 11], "text": [boiler, boiler]}))
+        for hashed in (False, True):
+            a = sorted(map(tuple, ngram_contamination(docs, ev, n=13, hashed=hashed).collect()))
+            b = sorted(
+                map(
+                    tuple,
+                    ngram_contamination(docs, ev, n=13, hashed=hashed, dedup_eval=False).collect(),
+                )
+            )
+            assert a == b and len(a) == 1
