@@ -780,7 +780,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets, and the Jaccard estimator exactly.
         from dsm2dtm_spark.operators.incremental import band_buckets, dedup_against, sign_documents
 
-        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        # one text shuffle, not two (r7): the corpus-side and fresh-side
+        # checkpoints are SEPARATE AQE queries, so without this the
+        # documents scan + repartition exchange executed once under each
+        # (no cross-query exchange reuse). Checkpointing the repartitioned
+        # table once makes every downstream branch narrow — the corpus/fresh
+        # filters, the fingerprint projection and the signing UDF all read
+        # the same cached blocks, and the later checkpoint calls stop
+        # re-running a 50k-doc text shuffle each.
+        d = (
+            _t(spark, sf, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=False)
+        )
         corpus = d.filter(F.col("doc_id") % 2 == 0)
         # fresh batch = the odd docs + 10 re-crawled corpus docs (same text,
         # new ids) so the exact-fingerprint path is exercised — testdata has
@@ -828,7 +840,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sign_documents,
         )
 
-        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+        # same one-shuffle checkpoint as docs_incremental_dedup (r7): the
+        # store append and the fresh-side dedup otherwise each re-run the
+        # documents scan + repartition exchange under their own AQE queries
+        d = (
+            _t(spark, sf, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=False)
+        )
         corpus = d.filter(F.col("doc_id") % 2 == 0)
         fresh = d.filter(F.col("doc_id") % 2 == 1).unionByName(
             d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).withColumn(

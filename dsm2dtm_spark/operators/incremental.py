@@ -265,6 +265,20 @@ def band_buckets(
     return exploded.select(*out_cols, bucket)
 
 
+def _trusted_n_hashes(store_params: dict, summary: dict | None) -> int | None:
+    """The signature length a store append can trust for the unrolled
+    codegen band-bucket form (``band_buckets(n_hashes=...)``): the batch's
+    own declared sig_params first, else the store's recorded ones.
+    ``check_params`` already rejects batches whose params disagree with the
+    store's, so a recorded value is authoritative; with neither, return
+    None and keep the generic length-adaptive expression (identical values
+    either way for engine-written signatures — see band_buckets)."""
+    nh = ((summary or {}).get("sig_params") or {}).get("n_hashes")
+    if nh is None:
+        nh = (store_params or {}).get("n_hashes")
+    return nh if isinstance(nh, int) and nh > 0 else None
+
+
 class SignatureStore:
     """Persisted dedup state: two snapshot tables under one root —
     ``signatures`` (doc_id, fingerprint, signature) and ``bands``
@@ -347,6 +361,9 @@ class SignatureStore:
                 "Rebuild the store or match its parameters."
             )
 
+    def _known_n_hashes(self, summary: dict | None) -> int | None:
+        return _trusted_n_hashes(self.params(), summary)
+
     def append(self, signatures_df: DataFrame, bands: int = 4, summary: dict | None = None) -> None:
         """Register a batch: commit its signature rows and derived band rows
         (derived here, not re-signed — slicing stored arrays is free). The
@@ -354,14 +371,19 @@ class SignatureStore:
         write would re-execute the whole sign+dedup lineage a second time —
         the most expensive stage of every ingest. With a configured
         ``bucket_cap`` the hot-bucket census updates here too (write-path
-        amortization; see class docstring)."""
+        amortization; see class docstring). Band buckets use the unrolled
+        whole-stage-codegen form when the signature length is known from
+        sig_params (r7 — the generic ``transform`` chain is CodegenFallback,
+        interpreted per band row)."""
         if self.bucket_cap is not None:
             # backfill BEFORE this batch's rows land in the band table, or
             # the later census read would double-count them
             self._backfill_census_if_needed(signatures_df.sparkSession)
         signatures_df = signatures_df.localCheckpoint(eager=True)
         self.signatures.write_dataframe(signatures_df, summary=summary)
-        band_rows = band_buckets(signatures_df, bands=bands).localCheckpoint(eager=False)
+        band_rows = band_buckets(
+            signatures_df, bands=bands, n_hashes=self._known_n_hashes(summary)
+        ).localCheckpoint(eager=False)
         self.bands.write_dataframe(band_rows, summary=summary)
         if self.bucket_cap is not None:
             self._update_bucket_census(band_rows)
@@ -726,7 +748,11 @@ class BucketedSignatureStore:
             self._backfill_census_if_needed(spark)
         meta = self._meta()
         tables = meta.setdefault("tables", {})
-        band_rows = band_buckets(signatures_df, bands=bands).localCheckpoint(eager=False)
+        # unrolled codegen bucket form when sig_params pin the signature
+        # length (r7) — same values, no interpreted transform per band row
+        band_rows = band_buckets(
+            signatures_df, bands=bands, n_hashes=_trusted_n_hashes(self.params(), summary)
+        ).localCheckpoint(eager=False)
         for kind, df in (("signatures", signatures_df), ("bands", band_rows)):
             cols = self._BUCKET_COLS[kind]
             writer = (
@@ -1071,7 +1097,11 @@ def dedup_against(
             matched = matched.localCheckpoint(eager=False)
         stored_fps = F.broadcast(matched)
     else:
-        stored_fps = stored_signatures.select("fingerprint").distinct()
+        # no .distinct(): the only consumers are a left-semi and a left-anti
+        # join, both duplicate-insensitive on the build side — the aggregate
+        # bought nothing (stored fingerprints are near-unique by
+        # construction) and cost an extra HashAggregate pair per pass (r7)
+        stored_fps = stored_signatures.select("fingerprint")
     exact = (
         fresh_fp.join(stored_fps, on="fingerprint", how="left_semi")
         .select(F.col(id_col), F.lit("exact").alias("verdict"))
@@ -1342,7 +1372,9 @@ def _repair_bands(spark, store, bands: int, id_col: str = "doc_id", n_sigs: int 
     except Exception:  # noqa: BLE001 — footers are an optimization only
         pass  # fall through to the anti-join, the safe path
     sigs = store.read_signatures(spark)
-    derived = band_buckets(sigs, id_col=id_col, bands=bands)
+    derived = band_buckets(
+        sigs, id_col=id_col, bands=bands, n_hashes=_trusted_n_hashes(store.params(), None)
+    )
     try:
         existing = store.read_bands(spark).select(id_col, "band")
         to_add = derived.join(existing, on=[id_col, "band"], how="left_anti")

@@ -529,3 +529,20 @@ class TestBandBucketsUnrolled:
             map(tuple, band_buckets(sigs, bands=4, carry_signature=True, n_hashes=16).collect())
         )
         assert a == b
+
+    def test_store_append_band_rows_identical_with_and_without_sig_params(self, spark, tmp_path):
+        # r7: appends with recorded sig_params take the unrolled codegen
+        # bucket form; appends without fall back to the generic expression.
+        # The committed band ROWS must be identical either way.
+        sigs = sign_documents(_df(spark, CORPUS), method="md5")
+        with_params = SignatureStore(str(tmp_path / "wp"))
+        with_params.append(
+            sigs,
+            summary={"sig_params": {"n_hashes": 16, "bands": 4, "shingle_n": 3, "method": "md5"}},
+        )
+        without_params = SignatureStore(str(tmp_path / "np"))
+        without_params.append(sigs)  # no summary anywhere → generic path
+        a = sorted(map(tuple, with_params.read_bands(spark).collect()))
+        b = sorted(map(tuple, without_params.read_bands(spark).collect()))
+        assert a == b
+        assert a == sorted(map(tuple, band_buckets(sigs).collect()))
