@@ -686,16 +686,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair is interior to exactly one bucket (the duplicate is its
         # bucket's LAST row — lead() is null there, so it emits nothing).
         # Pair texts with a lead() window over the bucket exchange, THEN
-        # shingle both sides via the Arrow-batched twin (shingle_grams_udf —
-        # the interpreted HOF chain measured 1.8 s/pass at sf1, the UDF
-        # ~0.3 s; values identical, lower() stays in the JVM). Shingling
-        # post-window means gram arrays (2-3x the text bytes) never cross
-        # an exchange — only the raw text moves, once; each doc shingles
-        # twice (as left and as right), which the cheap UDF makes free.
+        # pair texts first, then ONE Arrow UDF returns the intersect/union
+        # CARDINALITIES per pair (r7): gram arrays never come back across
+        # Arrow at all (8 bytes/row instead of 2-3x the text bytes) and the
+        # JVM array_intersect/array_union over KB-scale arrays disappears;
+        # division + round stay JVM-side, so the rounded value is
+        # bit-identical by construction (see jaccard_counts_udf).
         # (ArrowEvalPython does not preserve child partitioning in Spark
         # 4.1, so a pre-window shingle forces a second full-gram Exchange —
-        # measured, hence this order.)
-        from dsm2dtm_spark.operators.dedup import shingle_grams_udf
+        # measured, hence the pair-then-UDF order.)
+        from dsm2dtm_spark.operators.dedup import jaccard_counts_udf
 
         bucket_w = 256
         d = _t(spark, sf, "documents")
@@ -711,10 +711,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lead("doc_id").over(w).alias("right_id"),
             F.lead("text").over(w).alias("rtext"),
         ).filter(F.col("right_id") == F.col("left_id") + 1)
-        sh = shingle_grams_udf(3)
-        lg, rg = sh(F.lower(F.col("text"))), sh(F.lower(F.col("rtext")))
-        jac = F.round(F.size(F.array_intersect(lg, rg)) / F.size(F.array_union(lg, rg)), 4)
-        return paired.select("left_id", "right_id", jac.alias("jaccard"))
+        cu = jaccard_counts_udf(3)
+        withc = paired.select(
+            "left_id",
+            "right_id",
+            cu(F.lower(F.col("text")), F.lower(F.col("rtext"))).alias("_c"),
+        )
+        jac = F.round(F.col("_c.i") / F.col("_c.u"), 4)
+        return withc.select("left_id", "right_id", jac.alias("jaccard"))
 
     q["docs_jaccard_consecutive"] = docs_jaccard_consecutive
 
@@ -724,11 +728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (edges: jaccard(doc, doc+1) >= 0.5). The Spark side is the generic
         # CC operator; the oracle exploits that this edge set is a chain, so
         # cluster_id = running max of run-start ids — a pure window in SQL.
-        from dsm2dtm_spark.operators.dedup import connected_components, shingle_grams_udf
+        from dsm2dtm_spark.operators.dedup import connected_components, jaccard_counts_udf
 
-        # same one-exchange bucket-window pair shape + post-window Arrow
-        # shingle as docs_jaccard_consecutive (r7) — see there for the
-        # equivalence argument; only the ≥0.5 edge filter and the CC differ
+        # same one-exchange bucket-window pair shape + pair-counts Arrow UDF
+        # as docs_jaccard_consecutive (r7) — see there for the equivalence
+        # argument; only the ≥0.5 edge filter and the CC differ
         bucket_w = 256
         d = _t(spark, sf, "documents")
         div = F.expr(f"doc_id div {bucket_w}")
@@ -743,10 +747,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lead("doc_id").over(wb).alias("right_id"),
             F.lead("text").over(wb).alias("rtext"),
         ).filter(F.col("right_id") == F.col("left_id") + 1)
-        sh = shingle_grams_udf(3)
-        lg, rg = sh(F.lower(F.col("text"))), sh(F.lower(F.col("rtext")))
-        jac = F.round(F.size(F.array_intersect(lg, rg)) / F.size(F.array_union(lg, rg)), 4)
-        edges = paired.select("left_id", "right_id", jac.alias("j")).filter(F.col("j") >= 0.5)
+        cu = jaccard_counts_udf(3)
+        withc = paired.select(
+            "left_id",
+            "right_id",
+            cu(F.lower(F.col("text")), F.lower(F.col("rtext"))).alias("_c"),
+        )
+        jac = F.round(F.col("_c.i") / F.col("_c.u"), 4)
+        edges = withc.select("left_id", "right_id", jac.alias("j")).filter(F.col("j") >= 0.5)
         return connected_components(d.select("doc_id"), edges, id_col="doc_id")
 
     q["docs_dup_clusters"] = docs_dup_clusters

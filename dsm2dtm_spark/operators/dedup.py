@@ -80,6 +80,44 @@ def shingle_grams_udf(n: int = 3):
     return grams
 
 
+def jaccard_counts_udf(n: int = 3):
+    """Intersection/union CARDINALITIES of the two texts' distinct
+    ``n``-gram sets, as one Arrow-batched UDF over JVM-LOWERED text (pass
+    ``F.lower(col)`` on both sides). Value-identical twin of
+
+        size(array_intersect(sh(l), sh(r))), size(array_union(sh(l), sh(r)))
+
+    with ``sh = shingle_grams_udf(n)``: the gram construction is the same
+    codepoint slicing + short-text clamp, set cardinality == the sizes of
+    ``array_distinct``-based intersect/union (Spark treats NULL elements as
+    equal, mirrored by ``None`` membership in Python sets), and the division
+    + ``round`` stay in the JVM — so the rounded Jaccard is bit-identical
+    by construction, not by a reimplemented rounding rule.
+
+    Why: returning counts moves 8 bytes/row back across Arrow instead of
+    both gram arrays (2-3x the text bytes), and drops the JVM
+    array_intersect/array_union work on KB-scale arrays (r7, guide
+    §2.3/§4.2). The pair UDF also shingles each doc once per ROLE, exactly
+    like the two-column form it replaces."""
+
+    @F.pandas_udf("struct<i: int, u: int>")
+    def counts(left: pd.Series, right: pd.Series) -> pd.DataFrame:
+        def gset(t):
+            if t is None:
+                return {None}
+            m = max(len(t) - n + 1, 1)
+            return {t[i : i + n] for i in range(m)}
+
+        inter, union = [], []
+        for lt, rt in zip(left, right):
+            a, b = gset(lt), gset(rt)
+            inter.append(len(a & b))
+            union.append(len(a | b))
+        return pd.DataFrame({"i": inter, "u": union})
+
+    return counts
+
+
 def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str, n: int = 3) -> DataFrame:
     """Jaccard similarity of character n-gram shingle sets for pre-paired
     rows: |A∩B| / |A∪B|, all JVM array ops."""

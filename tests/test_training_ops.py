@@ -974,6 +974,33 @@ class TestShingleGramsUdf:
         ]
         assert a == b
 
+    def test_jaccard_counts_udf_matches_array_form_on_edges(self, spark):
+        # r7: jaccard_counts_udf returns |A∩B|, |A∪B| per pair — must equal
+        # size(array_intersect/array_union) over shingle_grams_udf output on
+        # every edge the expression semantics define (NULL text → [None] and
+        # Spark's null-equal-null set semantics, empty, short, unicode).
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from dsm2dtm_spark.operators.dedup import jaccard_counts_udf, shingle_grams_udf
+
+        rows = [
+            ("", ""), ("a", ""), ("ab", "ab"), ("abc", "abd"), (None, "abc"),
+            (None, None), ("aaa", None), ("ÄÖÜ ß İs", "äöü ß is"),
+            ("abcabcabc", "abcabc"), ("x" * 300, "x" * 300 + "y"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["text", "rtext"]))
+        sh = shingle_grams_udf(3)
+        lg, rg = sh(F.lower(F.col("text"))), sh(F.lower(F.col("rtext")))
+        old = df.select(
+            F.size(F.array_intersect(lg, rg)).alias("i"),
+            F.size(F.array_union(lg, rg)).alias("u"),
+        ).collect()
+        new = df.select(
+            jaccard_counts_udf(3)(F.lower(F.col("text")), F.lower(F.col("rtext"))).alias("c")
+        ).collect()
+        assert [(r.i, r.u) for r in old] == [(r.c.i, r.c.u) for r in new]
+
 
 class TestDecontamDedupEval:
     def test_dedup_eval_false_identical(self, spark):
