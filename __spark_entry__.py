@@ -1091,10 +1091,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # indexed ONCE (two appends, so the contract certifies the
         # INCREMENTAL path) into an AnnIndexStore under a per-sf temp root,
         # and the query runs against the committed postings — no corpus
-        # re-hash. Reused across invocations while the manifest row count
-        # matches the embeddings parquet footer (bench reruns hit the
-        # committed index, which is the behavior being measured); any
-        # testdata regeneration rebuilds.
+        # re-hash. Reused across invocations while the FIXTURE KEY matches
+        # (bench reruns hit the committed index, which is the behavior
+        # being measured); the key is (rows, size, mtime) of the embeddings
+        # parquet, NOT just the row count — a regenerated fixture with the
+        # same row count but different vectors must rebuild (a stale index
+        # answered from old vectors when only rows were compared; caught by
+        # the r7 sf1 re-sweep after the make_sf l_linenumber fix shifted
+        # the generator's rng stream).
         import hashlib
         import shutil
         import tempfile
@@ -1103,13 +1107,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from dsm2dtm_spark.operators.annstore import AnnIndexStore
 
-        n_rows = pq.ParquetFile(os.path.join(sf, "embeddings.parquet")).metadata.num_rows
+        emb_path = os.path.join(sf, "embeddings.parquet")
+        n_rows = pq.ParquetFile(emb_path).metadata.num_rows
+        st = os.stat(emb_path)
+        fixture_key = f"{n_rows}:{st.st_size}:{st.st_mtime_ns}"
         root = os.path.join(
             tempfile.gettempdir(),
             f"q_annstore_{kind}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}",
         )
+        key_file = os.path.join(root, "fixture_key.txt")
         store = AnnIndexStore(root)
-        if store.exists() and store.row_count() == n_rows:
+        try:
+            key_matches = open(key_file).read() == fixture_key
+        except OSError:
+            key_matches = False
+        if store.exists() and store.row_count() == n_rows and key_matches:
             return store
         shutil.rmtree(root, ignore_errors=True)
         # defaults == the in-flight operators' quantizer (ivf: 16 centroids
@@ -1119,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         store.append(e.filter(F.col("vec_id") % 2 == 0))
         store.append(e.filter(F.col("vec_id") % 2 == 1))
+        with open(key_file, "w") as f:
+            f.write(fixture_key)
         return store
 
     def emb_ivf_topk_persisted(spark, sf):

@@ -146,6 +146,14 @@ def gen(sf: float, out_dir: str, seed: int = 4242) -> None:
     # l_linenumber = per-order running index + 1 (orderkeys sorted above)
     starts = np.flatnonzero(np.r_[True, lok[1:] != lok[:-1]])
     lineno = (np.arange(n_line) - np.repeat(starts, np.diff(np.r_[starts, n_line]))) + 1
+    # drop lines past an order's 7th instead of clamping the index: the old
+    # np.minimum(lineno, 7) gave ~5% of orders duplicate (l_orderkey,
+    # l_linenumber) pairs, breaking the TPC-H primary key the driver's
+    # tables honor — a query relying on that uniqueness would pass the
+    # self-consistent Spark-vs-DuckDB contract here while being wrong on
+    # real-shaped data (ADVICE r6). Drops ~0.3% of lines; 1–7 lines/order.
+    keep = lineno <= 7
+    lok, lineno, n_line = lok[keep], lineno[keep], int(keep.sum())
     qty = rng.integers(1, 51, n_line).astype(np.float64)
     ship = odate[lok] + rng.integers(1, 122, n_line).astype("timedelta64[D]").astype(
         "timedelta64[us]"
@@ -154,7 +162,7 @@ def gen(sf: float, out_dir: str, seed: int = 4242) -> None:
         "l_orderkey": pa.array(lok),
         "l_partkey": pa.array(rng.integers(0, n_part, n_line).astype(np.int64)),
         "l_suppkey": pa.array(rng.integers(0, n_supp, n_line).astype(np.int64)),
-        "l_linenumber": pa.array(np.minimum(lineno, 7).astype(np.int32)),
+        "l_linenumber": pa.array(lineno.astype(np.int32)),
         "l_quantity": qty,
         "l_extendedprice": np.round(qty * rng.uniform(900.0, 2100.0, n_line), 2),
         "l_discount": np.round(rng.integers(0, 11, n_line) / 100.0, 2),
