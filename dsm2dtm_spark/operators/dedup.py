@@ -49,6 +49,17 @@ def shingle_expr(text_col: str, n: int = 3):
     )
 
 
+def _gram_slices(t: str, n: int):
+    """The ONE copy of the python-side gram construction both Arrow twins
+    share (shingle_grams_udf and jaccard_counts_udf): codepoint slices
+    ``t[i:i+n]`` over ``max(len(t)-n+1, 1)`` positions — exactly
+    ``substring(t, i+1, n)`` over ``greatest(length(t)-(n-1), 1)`` incl.
+    the short-text clamp. Keeping it shared is load-bearing: the rounded
+    Jaccard oracles rely on both UDFs agreeing bit-for-bit with
+    shingle_expr, so the clamp/slicing must never drift between them."""
+    return (t[i : i + n] for i in range(max(len(t) - n + 1, 1)))
+
+
 def shingle_grams_udf(n: int = 3):
     """Arrow-batched twin of ``shingle_expr`` over JVM-LOWERED text (pass it
     ``F.lower(col)`` — the unicode case mapping must stay the JVM's, exactly
@@ -73,8 +84,7 @@ def shingle_grams_udf(n: int = 3):
             if t is None:
                 out.append([None])
                 continue
-            m = max(len(t) - n + 1, 1)
-            out.append(list(dict.fromkeys(t[i : i + n] for i in range(m))))
+            out.append(list(dict.fromkeys(_gram_slices(t, n))))
         return pd.Series(out, dtype=object)
 
     return grams
@@ -105,8 +115,7 @@ def jaccard_counts_udf(n: int = 3):
         def gset(t):
             if t is None:
                 return {None}
-            m = max(len(t) - n + 1, 1)
-            return {t[i : i + n] for i in range(m)}
+            return set(_gram_slices(t, n))
 
         inter, union = [], []
         for lt, rt in zip(left, right):

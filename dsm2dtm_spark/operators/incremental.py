@@ -266,17 +266,34 @@ def band_buckets(
 
 
 def _trusted_n_hashes(store_params: dict, summary: dict | None) -> int | None:
-    """The signature length a store append can trust for the unrolled
-    codegen band-bucket form (``band_buckets(n_hashes=...)``): the batch's
-    own declared sig_params first, else the store's recorded ones.
-    ``check_params`` already rejects batches whose params disagree with the
-    store's, so a recorded value is authoritative; with neither, return
-    None and keep the generic length-adaptive expression (identical values
-    either way for engine-written signatures — see band_buckets)."""
+    """The DECLARED signature length for the unrolled codegen band-bucket
+    form (``band_buckets(n_hashes=...)``): the batch's own sig_params
+    first, else the store's recorded ones; None (→ generic expression)
+    with neither. Declared only — callers must confirm it against the
+    actual arrays with ``_verified_n_hashes`` before unrolling, because
+    the unrolled form indexes components 0..n-1 blindly (a shorter array
+    would bucket NULL-skipped ``md5('')`` floods instead of failing)."""
     nh = ((summary or {}).get("sig_params") or {}).get("n_hashes")
     if nh is None:
         nh = (store_params or {}).get("n_hashes")
     return nh if isinstance(nh, int) and nh > 0 else None
+
+
+def _verified_n_hashes(signatures_df: DataFrame, nh: int | None) -> int | None:
+    """Confirm a declared signature length against the batch's ACTUAL
+    arrays before the unrolled band-bucket form is allowed: one min/max
+    aggregate over ``size(signature)`` (the append paths checkpoint the
+    batch eagerly first, so this is a single fast job over cached rows).
+    Any mismatch, mixed lengths, or an empty batch falls back to the
+    generic length-adaptive expression — correct for every length — and
+    the declared-vs-actual inconsistency then surfaces through
+    ``check_params``/the estimator rather than silently flooding buckets."""
+    if nh is None:
+        return None
+    row = signatures_df.agg(
+        F.min(F.size("signature")).alias("lo"), F.max(F.size("signature")).alias("hi")
+    ).first()
+    return nh if row is not None and row.lo == nh and row.hi == nh else None
 
 
 class SignatureStore:
@@ -379,10 +396,16 @@ class SignatureStore:
             # backfill BEFORE this batch's rows land in the band table, or
             # the later census read would double-count them
             self._backfill_census_if_needed(signatures_df.sparkSession)
+        # resolve the declared length BEFORE the signatures commit:
+        # params() reads the LATEST snapshot summary, which after
+        # write_dataframe is this batch's (possibly sig_params-less) one —
+        # the store-params fallback would never fire (r7 review)
+        nh = self._known_n_hashes(summary)
         signatures_df = signatures_df.localCheckpoint(eager=True)
+        nh = _verified_n_hashes(signatures_df, nh)
         self.signatures.write_dataframe(signatures_df, summary=summary)
         band_rows = band_buckets(
-            signatures_df, bands=bands, n_hashes=self._known_n_hashes(summary)
+            signatures_df, bands=bands, n_hashes=nh
         ).localCheckpoint(eager=False)
         self.bands.write_dataframe(band_rows, summary=summary)
         if self.bucket_cap is not None:
@@ -749,9 +772,14 @@ class BucketedSignatureStore:
         meta = self._meta()
         tables = meta.setdefault("tables", {})
         # unrolled codegen bucket form when sig_params pin the signature
-        # length (r7) — same values, no interpreted transform per band row
+        # length (r7) — same values, no interpreted transform per band row;
+        # declared length confirmed against the checkpointed batch first
         band_rows = band_buckets(
-            signatures_df, bands=bands, n_hashes=_trusted_n_hashes(self.params(), summary)
+            signatures_df,
+            bands=bands,
+            n_hashes=_verified_n_hashes(
+                signatures_df, _trusted_n_hashes(self.params(), summary)
+            ),
         ).localCheckpoint(eager=False)
         for kind, df in (("signatures", signatures_df), ("bands", band_rows)):
             cols = self._BUCKET_COLS[kind]
@@ -1373,7 +1401,10 @@ def _repair_bands(spark, store, bands: int, id_col: str = "doc_id", n_sigs: int 
         pass  # fall through to the anti-join, the safe path
     sigs = store.read_signatures(spark)
     derived = band_buckets(
-        sigs, id_col=id_col, bands=bands, n_hashes=_trusted_n_hashes(store.params(), None)
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        n_hashes=_verified_n_hashes(sigs, _trusted_n_hashes(store.params(), None)),
     )
     try:
         existing = store.read_bands(spark).select(id_col, "band")

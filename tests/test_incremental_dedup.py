@@ -530,6 +530,23 @@ class TestBandBucketsUnrolled:
         )
         assert a == b
 
+    def test_append_with_wrong_declared_n_hashes_falls_back_to_generic(self, spark, tmp_path):
+        # r7 review: the unrolled form indexes components 0..n-1 blindly, so
+        # a declared length exceeding the actual arrays would bucket
+        # NULL-skipped md5('') floods. The append must confirm the declared
+        # length against the data and fall back to the generic expression.
+        sigs = sign_documents(_df(spark, CORPUS), method="md5")  # arrays of 16
+        store = SignatureStore(str(tmp_path / "wrongnh"))
+        store.append(
+            sigs,
+            summary={"sig_params": {"n_hashes": 32, "bands": 4, "shingle_n": 3, "method": "md5"}},
+        )
+        committed = sorted(map(tuple, store.read_bands(spark).collect()))
+        assert committed == sorted(map(tuple, band_buckets(sigs).collect()))
+        # no md5('') flood bucket
+        empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+        assert all(r[2] != empty_md5 for r in committed)
+
     def test_store_append_band_rows_identical_with_and_without_sig_params(self, spark, tmp_path):
         # r7: appends with recorded sig_params take the unrolled codegen
         # bucket form; appends without fall back to the generic expression.
